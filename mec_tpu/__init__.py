@@ -1,0 +1,44 @@
+"""mec_tpu — TPU-native multimodal emotion classification framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+RachaCodez/multimodal-emotion-classification (reference mounted read-only at
+/root/reference): speech / text / image emotion classifiers plus an
+attention-based multimodal fusion network, served behind the same web API and
+persistence layer.
+
+Design stance (TPU-first, not a port):
+  * All compute-path math is pure-functional JAX, traced once and jitted;
+    models are Flax linen modules with params loaded once per process
+    (the reference reconstructs every model per HTTP request,
+    reference app.py:225,256,290,336).
+  * The audio DSP frontend (librosa in the reference,
+    reference preprocessing/audio_preprocessing.py) is reimplemented as a
+    single batched XLA graph (with Pallas kernels for the hot ops) that runs
+    on-device and fuses into the speech DNN forward.
+  * Requests are micro-batched so encoder forwards saturate the MXU instead
+    of running one sample at a time.
+  * Multi-chip scaling is a `jax.sharding.Mesh` config change, not a rewrite
+    (see mec_tpu.parallel).
+
+Package layout:
+  ops/        device-side kernels: WAV decode, STFT/mel/DCT/chroma frontend,
+              Pallas fused kernels
+  models/     Flax model definitions (speech DNN, BERT, BiLSTM, ResNet50,
+              fusion net)
+  text/       tokenization (HF BERT tokenizer wrapper, Keras-style tokenizer)
+  image/      image decode / resize / normalize, face detection utility
+  parallel/   mesh construction + sharding rules (dp/tp)
+  serving/    the inference engine: param registry, jitted entry points,
+              micro-batching queue
+  inference/  reference-compatible facade classes (public API parity)
+  training/   optax training CLIs for all five trainers
+  convert/    one-shot Keras .h5 / torch .pt / HF-dir -> framework params
+  database/   sqlite-backed persistence (users, predictions, statistics)
+  webapp/     the web service (stdlib WSGI app + jinja2 templates)
+  utils/      config plumbing, logging, security helpers, profiling
+  datasets/   dataset download / reorganization tooling
+"""
+
+__version__ = "0.1.0"
+
+from mec_tpu.config import Config  # noqa: F401

@@ -1,0 +1,121 @@
+"""Central configuration.
+
+Behavioral parity with the reference `Config` (reference config.py:5-65):
+same attribute names, same defaults, same env-var overrides, so code written
+against the reference keeps working. TPU-specific knobs are added at the
+bottom and are all overridable via environment variables.
+"""
+
+import os
+from datetime import timedelta
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env_flag(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() in ("1", "true", "yes", "on")
+
+
+class Config:
+    # Secret key (reference config.py:7)
+    SECRET_KEY = os.environ.get('SECRET_KEY') or 'change-this-secret-key'
+
+    # CSRF protection (reference config.py:10-11)
+    WTF_CSRF_ENABLED = True
+    WTF_CSRF_TIME_LIMIT = None
+
+    # Session security (reference config.py:14-18)
+    SESSION_COOKIE_SECURE = os.environ.get('FLASK_ENV') == 'production'
+    SESSION_COOKIE_HTTPONLY = True
+    SESSION_COOKIE_SAMESITE = 'Lax'
+    PERMANENT_SESSION_LIFETIME = timedelta(hours=24)
+    SESSION_REFRESH_EACH_REQUEST = True
+
+    # Security headers (reference config.py:21-26)
+    SECURITY_HEADERS = {
+        'X-Content-Type-Options': 'nosniff',
+        'X-Frame-Options': 'DENY',
+        'X-XSS-Protection': '1; mode=block',
+        'Strict-Transport-Security': 'max-age=31536000; includeSubDomains',
+    }
+
+    # Database (reference config.py:29-35). SQLite by default; DATABASE_URL
+    # env var overrides (sqlite:///path URIs are supported natively, other
+    # dialects require the matching driver).
+    DATABASE_PATH = os.path.join(_REPO_ROOT, 'mec_tpu', 'database', 'emotion.db')
+    SQLALCHEMY_DATABASE_URI = (
+        os.environ.get('DATABASE_URL')
+        or f"sqlite:///{DATABASE_PATH}"
+    )
+
+    # Model artifact paths (reference config.py:39-44). The framework's own
+    # orbax/msgpack artifacts live next to the reference-format ones; loaders
+    # accept either.
+    SPEECH_MODEL_PATH = os.environ.get('SPEECH_MODEL_PATH', 'models/speech_model.h5')
+    SPEECH_SCALER_PATH = os.environ.get('SPEECH_SCALER_PATH', 'models/speech_scaler.pkl')
+    TEXT_MODEL_PATH = os.environ.get('TEXT_MODEL_PATH', 'models/text_model.h5')
+    IMAGE_MODEL_PATH = os.environ.get('IMAGE_MODEL_PATH', 'models/image_model.h5')
+    FUSION_MODEL_PATH = os.environ.get('FUSION_MODEL_PATH', 'models/fusion_model.pkl')
+    BERT_MODEL_PATH = os.environ.get('BERT_MODEL_PATH', 'models/bert_model')
+
+    # Upload settings (reference config.py:47-50)
+    UPLOAD_FOLDER = os.environ.get('UPLOAD_FOLDER', 'static/uploads')
+    MAX_FILE_SIZE = 16 * 1024 * 1024  # 16MB
+    ALLOWED_AUDIO_EXTENSIONS = {'wav', 'mp3', 'ogg'}
+    ALLOWED_IMAGE_EXTENSIONS = {'png', 'jpg', 'jpeg'}
+
+    # Labels (reference config.py:53-54)
+    EMOTIONS = ['happy', 'sad', 'angry', 'fear', 'disgust', 'surprise', 'neutral']
+    NUM_EMOTIONS = 7
+
+    # Audio settings (reference config.py:57-59)
+    SAMPLE_RATE = 22050
+    AUDIO_DURATION = 3
+    N_MFCC = 40
+
+    # Text settings (reference config.py:62)
+    MAX_TEXT_LENGTH = 128
+
+    # Image settings (reference config.py:65)
+    IMAGE_SIZE = (224, 224)
+
+    # ------------------------------------------------------------------
+    # TPU-native framework settings (new; no reference counterpart)
+    # ------------------------------------------------------------------
+
+    # Number of audio samples per clip after pad/trim (SAMPLE_RATE * AUDIO_DURATION)
+    AUDIO_SAMPLES = SAMPLE_RATE * AUDIO_DURATION  # 66150
+
+    # STFT parameters matching librosa 0.10 defaults
+    # (reference requirements.txt pins librosa==0.10.0)
+    N_FFT = 2048
+    HOP_LENGTH = 512
+    N_MELS = 128
+
+    # Serving: micro-batch bucket sizes. Requests are padded up to the
+    # smallest bucket >= pending count so every shape compiles exactly once.
+    BATCH_BUCKETS = tuple(
+        int(x) for x in os.environ.get('MEC_BATCH_BUCKETS', '1,8,32').split(',')
+    )
+    # Max time the batcher waits to fill a bucket before flushing (seconds).
+    BATCH_TIMEOUT_S = float(os.environ.get('MEC_BATCH_TIMEOUT_S', '0.003'))
+
+    # Compute dtype for encoder matmuls. 'bfloat16' rides the MXU at full
+    # rate on v5e; 'float32' is the parity mode (logits match the fp32
+    # reference to <=1e-4).
+    COMPUTE_DTYPE = os.environ.get('MEC_COMPUTE_DTYPE', 'float32')
+
+    # Enable Pallas kernels on the hot paths (fall back to plain XLA when
+    # off or when running on CPU).
+    USE_PALLAS = _env_flag('MEC_USE_PALLAS', True)
+
+    # Mesh axis sizes for multi-chip deployment; 'auto' uses all local
+    # devices on the data axis. See mec_tpu.parallel.mesh.
+    MESH_DATA = os.environ.get('MEC_MESH_DATA', 'auto')
+    MESH_MODEL = int(os.environ.get('MEC_MESH_MODEL', '1'))
+
+    # Logging
+    LOG_DIR = os.environ.get('MEC_LOG_DIR', 'logs')

@@ -1,0 +1,339 @@
+"""TPU-native audio feature frontend.
+
+Reimplements the reference's librosa-based 56-dim feature extractor
+(reference preprocessing/audio_preprocessing.py:22-46, librosa==0.10.0) as a
+single batched, jittable XLA graph:
+
+    features[b] = concat(mfcc_mean[40], chroma_mean[12],
+                         [zcr, spectral_centroid, spectral_rolloff, rms])
+
+Everything — STFT, mel projection, dB conversion, DCT, per-clip tuning
+estimation (piptrack), chroma filterbank synthesis, spectral statistics —
+runs on device with static shapes, so the whole frontend fuses into the
+speech DNN forward pass and batches across requests. The reference runs 4+
+independent librosa STFT passes per clip on the CPU
+(reference preprocessing/audio_preprocessing.py:40-46); here one rFFT feeds
+every consumer.
+
+librosa-semantics notes (all defaults of librosa 0.10):
+  * STFT: n_fft=2048, hop=512, periodic Hann, center=True with
+    pad_mode='constant' (zeros).
+  * MFCC: power melspectrogram (128 Slaney mels) -> power_to_db
+    (amin=1e-10, ref=1, top_db=80, max over the whole spectrogram) ->
+    orthonormal DCT-II, first 40 coefficients, mean over time.
+  * chroma_stft: power spectrogram -> per-clip tuning estimation via
+    piptrack parabolic-interpolation pitch tracking -> 12-bin chroma
+    filterbank (base_c, ctroct=5, octwidth=2, column-L2-normalized) ->
+    per-frame inf-norm normalization, mean over time.
+  * spectral centroid / rolloff (roll_percent=0.85) on the magnitude
+    spectrogram; ZCR (edge padding) and RMS (zero padding) on framed time
+    domain signals.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mec_tpu.config import Config
+from mec_tpu.ops import filters
+
+SR = Config.SAMPLE_RATE          # 22050
+N_SAMPLES = Config.AUDIO_SAMPLES  # 66150
+N_FFT = Config.N_FFT              # 2048
+HOP = Config.HOP_LENGTH           # 512
+N_MELS = Config.N_MELS            # 128
+N_MFCC = Config.N_MFCC            # 40
+N_CHROMA = 12
+N_BINS = 1 + N_FFT // 2           # 1025
+N_FRAMES = 1 + N_SAMPLES // HOP   # 130 (center=True framing)
+
+_TINY32 = float(np.finfo(np.float32).tiny)
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _frame_indices() -> np.ndarray:
+    """(N_FRAMES, N_FFT) gather indices into the center-padded signal."""
+    starts = np.arange(N_FRAMES) * HOP
+    return (starts[:, None] + np.arange(N_FFT)[None, :]).astype(np.int32)
+
+
+def frame_signal(y: jnp.ndarray, pad_mode: str) -> jnp.ndarray:
+    """Center-framed view, (B, N_FRAMES, N_FFT). pad_mode: 'constant'|'edge'."""
+    pad = N_FFT // 2
+    y_p = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
+    return y_p[:, _frame_indices()]
+
+
+def stft_spectrograms(y: jnp.ndarray):
+    """One rFFT pass -> (magnitude, power) spectrograms, each (B, T, F)."""
+    frames = frame_signal(y, 'constant')
+    win = jnp.asarray(filters.hann_window(N_FFT))
+    z = jnp.fft.rfft(frames * win, axis=-1)
+    mag = jnp.abs(z).astype(jnp.float32)
+    return mag, mag * mag
+
+
+# ----------------------------------------------------------------------
+# MFCC
+# ----------------------------------------------------------------------
+
+def power_to_db(S: jnp.ndarray, top_db: float = 80.0, amin: float = 1e-10
+                ) -> jnp.ndarray:
+    """librosa.power_to_db with ref=1.0; max taken per clip (leading axis)."""
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, S))
+    per_clip_max = jnp.max(log_spec, axis=tuple(range(1, S.ndim)), keepdims=True)
+    return jnp.maximum(log_spec, per_clip_max - top_db)
+
+
+def mfcc_mean_from_power(P: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, F) power spectrogram -> (B, N_MFCC) time-averaged MFCCs."""
+    mel_fb = jnp.asarray(filters.mel_filterbank(SR, N_FFT, N_MELS))  # (M, F)
+    melspec = jnp.einsum('btf,mf->btm', P, mel_fb, precision=_HIGH)
+    mel_db = power_to_db(melspec)
+    dct_m = jnp.asarray(filters.dct_matrix(N_MFCC, N_MELS))          # (C, M)
+    mfcc = jnp.einsum('btm,cm->btc', mel_db, dct_m, precision=_HIGH)
+    return jnp.mean(mfcc, axis=1)
+
+
+# ----------------------------------------------------------------------
+# Tuning estimation (librosa.estimate_tuning via piptrack) + chroma
+# ----------------------------------------------------------------------
+
+def piptrack_candidates(P: jnp.ndarray, fmin: float = 150.0,
+                        fmax: float = 4000.0, threshold: float = 0.1):
+    """Parabolic-interpolated pitch candidates from a power spectrogram.
+
+    Mirrors librosa.piptrack defaults (as invoked by estimate_tuning with
+    S=the chroma power spectrogram). Returns (pitches, mags, mask), each
+    (B, T, F); non-candidates have pitch=mag=0.
+    """
+    S = P  # piptrack applies np.abs; power spectrograms are non-negative
+    # Parabolic interpolation around each bin (axis = frequency, last)
+    avg_core = 0.5 * (S[..., 2:] - S[..., :-2])
+    denom = 2.0 * S[..., 1:-1] - S[..., 2:] - S[..., :-2]
+    shift_core = avg_core / (denom + (jnp.abs(denom) < _TINY32))
+    zeros = jnp.zeros_like(S[..., :1])
+    avg = jnp.concatenate([zeros, avg_core, zeros], axis=-1)
+    shift = jnp.concatenate([zeros, shift_core, zeros], axis=-1)
+    dskew = 0.5 * avg * shift
+
+    freqs = jnp.asarray(filters.fft_frequencies(SR, N_FFT), dtype=jnp.float32)
+    freq_mask = (freqs >= max(fmin, 0.0)) & (freqs < min(fmax, SR / 2.0))
+
+    ref_value = threshold * jnp.max(S, axis=-1, keepdims=True)  # per frame
+    masked = S * (S > ref_value)
+    # localmax with edge padding: first bin compares against itself (False),
+    # last bin's right-neighbor is itself (>= holds).
+    left = jnp.concatenate([masked[..., :1], masked[..., :-1]], axis=-1)
+    right = jnp.concatenate([masked[..., 1:], masked[..., -1:]], axis=-1)
+    localmax = (masked > left) & (masked >= right)
+
+    mask = localmax & freq_mask
+    bin_idx = jnp.arange(N_BINS, dtype=jnp.float32)
+    # librosa multiplies by sr before dividing by n_fft; keep that order so
+    # float32 rounding matches bit-for-bit.
+    pitches = jnp.where(mask, (bin_idx + shift) * float(SR) / N_FFT, 0.0)
+    mags = jnp.where(mask, S + dskew, 0.0)
+    return pitches, mags, mask
+
+
+def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """np.median over values[mask], per batch row. values/mask: (B, K)."""
+    big = jnp.float32(np.finfo(np.float32).max)
+    filled = jnp.where(mask, values, big)
+    srt = jnp.sort(filled, axis=-1)
+    k = jnp.sum(mask, axis=-1)                      # (B,)
+    lo = jnp.maximum((k - 1) // 2, 0)
+    hi = jnp.maximum(k // 2, 0)
+    lo_v = jnp.take_along_axis(srt, lo[:, None], axis=-1)[:, 0]
+    hi_v = jnp.take_along_axis(srt, hi[:, None], axis=-1)[:, 0]
+    med = 0.5 * (lo_v + hi_v)
+    return jnp.where(k > 0, med, 0.0)
+
+
+def estimate_tuning_from_power(P: jnp.ndarray, resolution: float = 0.01,
+                               bins_per_octave: int = 12) -> jnp.ndarray:
+    """Per-clip tuning deviation in fractional chroma bins, (B,).
+
+    librosa.estimate_tuning: keep candidates whose magnitude is >= the median
+    candidate magnitude, fold their pitches onto one octave, histogram the
+    residuals at `resolution`, return the fullest bin's left edge.
+    """
+    B = P.shape[0]
+    pitches, mags, mask = piptrack_candidates(P)
+    pitches = pitches.reshape(B, -1)
+    mags = mags.reshape(B, -1)
+    mask = mask.reshape(B, -1)
+
+    pitch_mask = pitches > 0
+    med = _masked_median(mags, pitch_mask)                       # (B,)
+    sel = (mags >= med[:, None]) & pitch_mask
+
+    # residual of bins_per_octave * log2(f / 27.5) mod 1, folded to [-0.5, 0.5)
+    octs = jnp.log2(jnp.where(sel, pitches, 1.0) / 27.5)
+    residual = jnp.mod(bins_per_octave * octs, 1.0)
+    residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
+
+    n_bins = int(np.ceil(1.0 / resolution))                      # 100
+    # np.histogram semantics: bin i is [edges[i], edges[i+1]) with float64
+    # edges from linspace. The residuals are float32; a float32 floor-divide
+    # can land one bin off right at an edge, so correct the initial guess
+    # with an exact double-single (hi+lo) comparison against the f64 edges.
+    edges64 = np.linspace(-0.5, 0.5, n_bins + 1)
+    hi = jnp.asarray(edges64.astype(np.float32))
+    lo = jnp.asarray((edges64 - edges64.astype(np.float32)).astype(np.float32))
+
+    def edge_le(i, r):  # edges64[i] <= r, exactly
+        h, l = hi[i], lo[i]
+        return (h < r) | ((h == r) & (l <= 0))
+
+    idx = jnp.clip(jnp.floor((residual + 0.5) / resolution).astype(jnp.int32),
+                   0, n_bins - 1)
+    idx = jnp.where(edge_le(idx, residual), idx, idx - 1)
+    idx = jnp.where(edge_le(jnp.minimum(idx + 1, n_bins), residual),
+                    jnp.minimum(idx + 1, n_bins - 1), idx)
+    idx = jnp.clip(idx, 0, n_bins - 1)
+    onehot = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32)
+    counts = jnp.sum(onehot * sel[..., None], axis=1)            # (B, n_bins)
+    best = jnp.argmax(counts, axis=-1)
+    tuning = hi[best]  # == float32(edges64[argmax]), matching np bins[argmax]
+    has_any = jnp.any(sel, axis=-1)
+    return jnp.where(has_any, tuning, 0.0)
+
+
+def chroma_filterbank(tuning: jnp.ndarray, n_chroma: int = N_CHROMA,
+                      ctroct: float = 5.0, octwidth: float = 2.0) -> jnp.ndarray:
+    """Per-clip chroma filterbank (B, n_chroma, N_BINS).
+
+    librosa.filters.chroma with base_c=True and column-wise L2 norm; the
+    tuning estimate shifts every bin center by -tuning fractional bins
+    (see mec_tpu.ops.filters.chroma_base_bins).
+    """
+    base = jnp.asarray(filters.chroma_base_bins(SR, N_FFT, n_chroma),
+                       dtype=jnp.float32)                        # (N_BINS-1,)
+    frqbins = base[None, :] - tuning[:, None]                    # (B, F-1)
+    first = frqbins[:, :1] - 1.5 * n_chroma                      # DC stand-in
+    frqbins = jnp.concatenate([first, frqbins], axis=-1)         # (B, F)
+
+    widths = jnp.concatenate(
+        [jnp.maximum(frqbins[:, 1:] - frqbins[:, :-1], 1.0),
+         jnp.ones_like(frqbins[:, :1])], axis=-1)                # (B, F)
+
+    c = jnp.arange(n_chroma, dtype=jnp.float32)
+    D = frqbins[:, None, :] - c[None, :, None]                   # (B, C, F)
+    n2 = round(n_chroma / 2)
+    D = jnp.remainder(D + n2 + 10 * n_chroma, n_chroma) - n2
+    wts = jnp.exp(-0.5 * (2.0 * D / widths[:, None, :]) ** 2)
+
+    # column-wise L2 normalization (per FFT bin)
+    norm = jnp.sqrt(jnp.sum(wts * wts, axis=1, keepdims=True))
+    wts = wts / jnp.where(norm < _TINY32, 1.0, norm)
+
+    # Gaussian octave weighting centered at ctroct
+    wts = wts * jnp.exp(
+        -0.5 * (((frqbins[:, None, :] / n_chroma) - ctroct) / octwidth) ** 2)
+
+    # rotate so bin 0 = C (base_c): roll by -3 chroma rows
+    wts = jnp.roll(wts, -3 * (n_chroma // 12), axis=1)
+    return wts
+
+
+def chroma_mean_from_power(P: jnp.ndarray, tuning: jnp.ndarray | None = None
+                           ) -> jnp.ndarray:
+    """(B, T, F) power spectrogram -> (B, 12) time-averaged chroma."""
+    if tuning is None:
+        tuning = estimate_tuning_from_power(P)
+    fb = chroma_filterbank(tuning)                               # (B, C, F)
+    raw = jnp.einsum('bcf,btf->btc', fb, P, precision=_HIGH)
+    # librosa.util.normalize(norm=inf, axis=-2): per (clip, frame) max over C
+    length = jnp.max(jnp.abs(raw), axis=-1, keepdims=True)
+    chroma = raw / jnp.where(length < _TINY32, 1.0, length)
+    return jnp.mean(chroma, axis=1)
+
+
+# ----------------------------------------------------------------------
+# Spectral scalars
+# ----------------------------------------------------------------------
+
+def spectral_centroid_mean(mag: jnp.ndarray) -> jnp.ndarray:
+    """librosa.feature.spectral_centroid on the magnitude spectrogram, (B,)."""
+    freqs = jnp.asarray(filters.fft_frequencies(SR, N_FFT), dtype=jnp.float32)
+    total = jnp.sum(mag, axis=-1, keepdims=True)
+    norm = mag / jnp.where(total < _TINY32, 1.0, total)
+    centroid = jnp.sum(freqs * norm, axis=-1)                    # (B, T)
+    return jnp.mean(centroid, axis=-1)
+
+
+def spectral_rolloff_mean(mag: jnp.ndarray, roll_percent: float = 0.85
+                          ) -> jnp.ndarray:
+    """librosa.feature.spectral_rolloff (lowest bin reaching 85% energy), (B,)."""
+    freqs = jnp.asarray(filters.fft_frequencies(SR, N_FFT), dtype=jnp.float32)
+    cum = jnp.cumsum(mag, axis=-1)
+    thresh = roll_percent * cum[..., -1:]
+    hit = cum >= thresh
+    big = jnp.float32(np.finfo(np.float32).max)
+    rolloff = jnp.min(jnp.where(hit, freqs, big), axis=-1)       # (B, T)
+    return jnp.mean(rolloff, axis=-1)
+
+
+def zcr_mean(y: jnp.ndarray, threshold: float = 1e-10) -> jnp.ndarray:
+    """librosa.feature.zero_crossing_rate mean, (B,).
+
+    Edge padding, per-frame fraction of sign changes (the first slot of each
+    frame never counts, matching zero_crossings' pad=True).
+    """
+    frames = frame_signal(y, 'edge')                             # (B, T, W)
+    z = jnp.where(jnp.abs(frames) <= threshold, 0.0, frames)
+    neg = jnp.signbit(z)
+    crossings = neg[..., 1:] != neg[..., :-1]
+    rate = jnp.sum(crossings, axis=-1).astype(jnp.float32) / N_FFT
+    return jnp.mean(rate, axis=-1)
+
+
+def rms_mean(y: jnp.ndarray) -> jnp.ndarray:
+    """librosa.feature.rms mean (zero-padded center framing), (B,)."""
+    frames = frame_signal(y, 'constant')
+    rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
+    return jnp.mean(rms, axis=-1)
+
+
+# ----------------------------------------------------------------------
+# Full 56-dim frontend
+# ----------------------------------------------------------------------
+
+def audio_features_56(y: jnp.ndarray) -> jnp.ndarray:
+    """(B, 66150) float32 waveforms -> (B, 56) features.
+
+    Feature order matches reference preprocessing/audio_preprocessing.py:40-46:
+    40 MFCC, 12 chroma, then [zcr, centroid, rolloff, rms]
+    (reference :33-37).
+    """
+    if y.ndim == 1:
+        y = y[None, :]
+    mag, P = stft_spectrograms(y)
+    mfcc = mfcc_mean_from_power(P)
+    chroma = chroma_mean_from_power(P)
+    zcr = zcr_mean(y)
+    centroid = spectral_centroid_mean(mag)
+    rolloff = spectral_rolloff_mean(mag)
+    rms = rms_mean(y)
+    spectral = jnp.stack([zcr, centroid, rolloff, rms], axis=-1)
+    return jnp.concatenate([mfcc, chroma, spectral], axis=-1).astype(jnp.float32)
+
+
+audio_features_56_jit = jax.jit(audio_features_56)
+
+
+@partial(jax.jit, static_argnames=())
+def spectral_features_4(y: jnp.ndarray) -> jnp.ndarray:
+    """Just [zcr, centroid, rolloff, rms], (B, 4) — the heuristic-fallback
+    input (reference inference/speech_inference.py:36-44)."""
+    if y.ndim == 1:
+        y = y[None, :]
+    mag, _ = stft_spectrograms(y)
+    return jnp.stack([zcr_mean(y), spectral_centroid_mean(mag),
+                      spectral_rolloff_mean(mag), rms_mean(y)], axis=-1)

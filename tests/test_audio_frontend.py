@@ -1,0 +1,155 @@
+"""JAX audio frontend vs. the independent numpy librosa-semantics oracle.
+
+Parity budget is the BASELINE.json target (<=1e-4); most stages agree far
+tighter. Covers the test intent of reference tests/test_preprocessing.py
+(shape/finiteness, reference tests/test_preprocessing.py:30-67) and adds the
+golden-value + batching-equivalence tests the reference lacks (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+from mec_tpu.ops import audio_features as af
+from mec_tpu.ops import filters, wav
+from tests import librosa_ref as ref
+
+
+def _signals():
+    rng = np.random.RandomState(0)
+    t = np.arange(af.N_SAMPLES) / af.SR
+    tone = (0.4 * np.sin(2 * np.pi * 220.0 * t)
+            + 0.2 * np.sin(2 * np.pi * 452.3 * t)
+            + 0.05 * rng.randn(af.N_SAMPLES)).astype(np.float32)
+    noise = (0.1 * rng.randn(af.N_SAMPLES)).astype(np.float32)
+    quiet = np.zeros(af.N_SAMPLES, dtype=np.float32)
+    quiet[1000:1200] = 0.01
+    return {"tone": tone, "noise": noise, "quiet": quiet}
+
+
+SIGNALS = _signals()
+
+
+class TestConstants:
+    def test_hann_matches_scipy(self):
+        import scipy.signal
+        want = scipy.signal.get_window("hann", 2048, fftbins=True)
+        np.testing.assert_allclose(filters.hann_window(2048), want, atol=1e-7)
+
+    def test_dct_matches_scipy(self):
+        import scipy.fft
+        x = np.random.RandomState(1).randn(128, 5).astype(np.float32)
+        want = scipy.fft.dct(x, type=2, axis=0, norm="ortho")[:40]
+        got = filters.dct_matrix(40, 128) @ x
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_mel_fb_matches_oracle(self):
+        np.testing.assert_allclose(
+            filters.mel_filterbank(22050, 2048, 128), ref.mel_fb(), atol=2e-7)
+
+
+class TestSpectrogram:
+    def test_stft_magnitude(self):
+        y = SIGNALS["tone"]
+        mag, power = af.stft_spectrograms(y[None, :])
+        want = ref.stft_mag(y)  # (F, T)
+        assert mag.shape == (1, af.N_FRAMES, af.N_BINS)
+        np.testing.assert_allclose(
+            np.asarray(mag[0]).T, want, atol=2e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(power[0]).T, want ** 2,
+                                   atol=5e-3, rtol=2e-4)
+
+
+class TestFeatures:
+    @pytest.mark.parametrize("name", list(SIGNALS))
+    def test_mfcc_parity(self, name):
+        y = SIGNALS[name]
+        got = np.asarray(af.mfcc_mean_from_power(
+            af.stft_spectrograms(y[None])[1]))[0]
+        want = ref.mfcc_mean(y)
+        assert got.shape == (40,)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    def test_tuning_and_chroma_parity_tonal(self):
+        # Tonal/speech-like signals have a peaked tuning histogram; the
+        # estimate must match the oracle exactly.
+        y = SIGNALS["tone"]
+        P = af.stft_spectrograms(y[None])[1]
+        got_tuning = float(np.asarray(af.estimate_tuning_from_power(P))[0])
+        want_chroma, want_tuning = ref.chroma_mean(y)
+        assert abs(got_tuning - want_tuning) < 1e-6
+        got_chroma = np.asarray(af.chroma_mean_from_power(P))[0]
+        assert got_chroma.shape == (12,)
+        np.testing.assert_allclose(got_chroma, want_chroma, atol=1e-4)
+
+    def test_chroma_filterbank_parity_noise(self):
+        # White noise has a near-flat tuning histogram where 1-ulp FFT
+        # differences (XLA vs pocketfft) legitimately flip the argmax among
+        # tied bins; pin the tuning and verify filterbank + normalization.
+        y = SIGNALS["noise"]
+        P = af.stft_spectrograms(y[None])[1]
+        import jax.numpy as jnp
+        for tuning in (-0.29, 0.0, 0.21):
+            got = np.asarray(af.chroma_mean_from_power(
+                P, tuning=jnp.asarray([tuning], dtype=jnp.float32)))[0]
+            S_np = ref.stft_mag(y) ** 2
+            fb = ref.chroma_fb(np.float32(tuning))
+            raw = fb @ S_np
+            length = np.max(np.abs(raw), axis=0, keepdims=True).copy()
+            length[length < np.finfo(np.float32).tiny] = 1.0
+            want = np.mean((raw / length).T, axis=0)
+            np.testing.assert_allclose(got, want, atol=1e-4)
+
+    @pytest.mark.parametrize("name", list(SIGNALS))
+    def test_spectral_scalars_parity(self, name):
+        y = SIGNALS[name]
+        feats = np.asarray(af.spectral_features_4(y[None]))[0]
+        want = np.array([ref.zcr_mean(y), ref.spectral_centroid_mean(y),
+                         ref.spectral_rolloff_mean(y), ref.rms_mean(y)])
+        # centroid/rolloff are in Hz (absolute tolerance scaled accordingly)
+        np.testing.assert_allclose(feats[0], want[0], atol=1e-6)
+        np.testing.assert_allclose(feats[1], want[1], rtol=1e-4)
+        np.testing.assert_allclose(feats[2], want[2], rtol=1e-4)
+        np.testing.assert_allclose(feats[3], want[3], atol=1e-6)
+
+    def test_full_56_shape_and_parity(self):
+        y = SIGNALS["tone"]
+        got = np.asarray(af.audio_features_56_jit(y[None]))[0]
+        want = ref.features_56(y)
+        assert got.shape == (56,)
+        assert np.all(np.isfinite(got))
+        # MFCC/chroma entries are O(1)-O(100); Hz entries compared relatively
+        np.testing.assert_allclose(got[:52], want[:52], atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(got[52:], want[52:], rtol=2e-4)
+
+    def test_batching_equivalence(self):
+        ys = np.stack([SIGNALS["tone"], SIGNALS["noise"], SIGNALS["quiet"]])
+        batched = np.asarray(af.audio_features_56_jit(ys))
+        singles = np.stack(
+            [np.asarray(af.audio_features_56_jit(y[None]))[0] for y in ys])
+        np.testing.assert_allclose(batched, singles, atol=1e-5, rtol=1e-5)
+
+
+class TestWav:
+    def test_wav_roundtrip_and_fix_length(self, tmp_path):
+        y = SIGNALS["tone"][:30000]
+        p = str(tmp_path / "t.wav")
+        wav.write_wav(p, y, af.SR)
+        out, sr = wav.load_and_fix_length(p, sr=af.SR, duration=3)
+        assert sr == af.SR and out.shape == (af.N_SAMPLES,)
+        # PCM16 quantization + 32767/32768 scale mismatch
+        np.testing.assert_allclose(out[:30000], y, atol=1e-4)
+        assert np.all(out[30000:] == 0)
+
+    def test_wav_resample(self, tmp_path):
+        sr_in = 44100
+        t = np.arange(sr_in) / sr_in
+        y = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        p = str(tmp_path / "t44.wav")
+        wav.write_wav(p, y, sr_in)
+        out, sr = wav.load_audio_file(p, sr=22050)
+        assert sr == 22050
+        assert abs(len(out) - 22050) <= 1
+        # spectral peak should stay at 440 Hz
+        spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+        peak_hz = np.argmax(spec) * 22050 / len(out)
+        assert abs(peak_hz - 440) < 5
