@@ -42,3 +42,14 @@ Package layout:
 __version__ = "0.1.0"
 
 from mec_tpu.config import Config  # noqa: F401
+
+# Matmul precision policy. TPU MXUs default f32 matmuls to one bf16 pass
+# (~1e-1 abs error at hidden-size 256) which breaks the <=1e-4 logit-parity
+# contract. In parity mode (COMPUTE_DTYPE=float32, the default) force full
+# fp32 matmuls; the perf path instead casts params/activations to bfloat16,
+# which this flag does not slow down (bf16 inputs always run one MXU pass
+# with fp32 accumulation).
+if Config.COMPUTE_DTYPE == "float32":
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,124 @@
+"""BERT-base sequence classifier.
+
+Flax reimplementation of HuggingFace `BertForSequenceClassification`
+(the reference fine-tunes and serves bert-base-uncased,
+reference model_training/train_text_model.py:187-190,
+reference inference/text_inference.py:40-43): embeddings (word + position +
+token type, LayerNorm eps 1e-12), 12 post-LN encoder layers (12 heads,
+intermediate 3072, erf-GeLU), pooler (tanh dense on [CLS]), classifier.
+
+Returns logits and the [CLS] last-hidden-state vector in one pass — the
+reference runs BERT twice per fused request
+(reference text_inference.py:106-130).
+
+TPU notes: fixed 128-token padding keeps shapes static (one compile);
+attention uses additive masking with the dtype's min like HF so converted
+checkpoints match to <=1e-4; set dtype=bfloat16 for MXU-rate serving once
+parity is established.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class BertSelfAttention(nn.Module):
+    hidden_size: int = 768
+    num_heads: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray, attn_bias: jnp.ndarray
+                 ) -> jnp.ndarray:
+        B, L, H = hidden.shape
+        nh, hd = self.num_heads, self.hidden_size // self.num_heads
+        q = nn.Dense(H, dtype=self.dtype, name='query')(hidden)
+        k = nn.Dense(H, dtype=self.dtype, name='key')(hidden)
+        v = nn.Dense(H, dtype=self.dtype, name='value')(hidden)
+        q = q.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        scores = (q @ k.transpose(0, 1, 3, 2)) / jnp.sqrt(hd).astype(self.dtype)
+        scores = scores + attn_bias[:, None, None, :]
+        probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        ctx = (probs @ v).transpose(0, 2, 1, 3).reshape(B, L, H)
+        return ctx
+
+
+class BertLayer(nn.Module):
+    hidden_size: int = 768
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray, attn_bias: jnp.ndarray
+                 ) -> jnp.ndarray:
+        ln = lambda name: nn.LayerNorm(epsilon=1e-12, use_fast_variance=False, dtype=self.dtype, name=name)
+        ctx = BertSelfAttention(self.hidden_size, self.num_heads, self.dtype,
+                                name='attention_self')(hidden, attn_bias)
+        ctx = nn.Dense(self.hidden_size, dtype=self.dtype,
+                       name='attention_output')(ctx)
+        hidden = ln('attention_norm')(hidden + ctx)
+        inter = nn.Dense(self.intermediate_size, dtype=self.dtype,
+                         name='intermediate')(hidden)
+        inter = nn.gelu(inter, approximate=False)
+        out = nn.Dense(self.hidden_size, dtype=self.dtype, name='output')(inter)
+        return ln('output_norm')(hidden + out)
+
+
+class BertForSequenceClassification(nn.Module):
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position: int = 512
+    type_vocab_size: int = 2
+    num_classes: int = 7
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
+                 token_type_ids: jnp.ndarray | None = None,
+                 *, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, L) int32 ids/mask -> (logits (B, C), cls_embedding (B, H))."""
+        B, L = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+
+        word = nn.Embed(self.vocab_size, self.hidden_size, dtype=self.dtype,
+                        name='word_embeddings')(input_ids)
+        pos_ids = jnp.arange(L)[None, :]
+        pos = nn.Embed(self.max_position, self.hidden_size, dtype=self.dtype,
+                       name='position_embeddings')(pos_ids)
+        tok = nn.Embed(self.type_vocab_size, self.hidden_size, dtype=self.dtype,
+                       name='token_type_embeddings')(token_type_ids)
+        hidden = word + pos + tok
+        hidden = nn.LayerNorm(epsilon=1e-12, use_fast_variance=False, dtype=self.dtype,
+                              name='embeddings_norm')(hidden)
+        hidden = nn.Dropout(0.1, deterministic=not train)(hidden)
+
+        # HF-style additive mask: 0 where attended, dtype-min where padded
+        neg = jnp.finfo(self.dtype if self.dtype != jnp.bfloat16
+                        else jnp.float32).min
+        attn_bias = ((1.0 - attention_mask.astype(jnp.float32)) * neg
+                     ).astype(self.dtype)
+
+        for i in range(self.num_layers):
+            hidden = BertLayer(self.hidden_size, self.num_heads,
+                               self.intermediate_size, self.dtype,
+                               name=f'layer_{i}')(hidden, attn_bias)
+
+        cls = hidden[:, 0, :]
+        pooled = nn.Dense(self.hidden_size, dtype=self.dtype,
+                          name='pooler')(cls)
+        pooled = jnp.tanh(pooled)
+        pooled = nn.Dropout(0.1, deterministic=not train)(pooled)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name='classifier')(pooled)
+        return logits.astype(jnp.float32), cls.astype(jnp.float32)

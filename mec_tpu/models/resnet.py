@@ -1,0 +1,94 @@
+"""ResNet50 image emotion model.
+
+Flax reimplementation of the torchvision ResNet50 v1 graph with the
+reference's custom head (reference inference/image_inference.py:48-92,
+model_training/train_image_model.py:48-67):
+
+    base: conv7x7/2 -> BN -> ReLU -> maxpool3/2 -> [3,4,6,3] bottlenecks
+    head: Dropout(0.5) -> Linear(2048,512) -> ReLU -> Dropout(0.3)
+          -> Linear(512, 7)
+
+TPU-first choices: NHWC layout (the native TPU conv layout; the torch->flax
+converter transposes OIHW->HWIO), fused BN at inference via flax BatchNorm
+running stats, batched jitted forward. The forward returns both logits and
+the 512-dim post-ReLU head feature so fusion feature extraction shares the
+single forward pass (the reference runs the backbone twice,
+reference image_inference.py:131-146).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (expansion 4, stride on the 3x3 conv)."""
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        bn = partial(nn.BatchNorm, use_running_average=not train,
+                     momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        identity = x
+        out = conv(self.features, (1, 1), name='conv1')(x)
+        out = bn(name='bn1')(out)
+        out = nn.relu(out)
+        out = conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                   padding=((1, 1), (1, 1)), name='conv2')(out)
+        out = bn(name='bn2')(out)
+        out = nn.relu(out)
+        out = conv(self.features * 4, (1, 1), name='conv3')(out)
+        out = bn(name='bn3')(out)
+        if self.downsample:
+            identity = conv(self.features * 4, (1, 1),
+                            strides=(self.stride, self.stride),
+                            name='downsample_conv')(x)
+            identity = bn(name='downsample_bn')(identity)
+        return nn.relu(out + identity)
+
+
+class ImageEmotionModel(nn.Module):
+    num_classes: int = 7
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: (B, 224, 224, 3) normalized NHWC.
+
+        Returns (logits (B, 7), head_features (B, 512)).
+        """
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name='conv1')(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            features = 64 * (2 ** stage)
+            for block in range(n_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = Bottleneck(features, stride=stride,
+                               downsample=(block == 0), dtype=self.dtype,
+                               name=f'layer{stage + 1}_{block}')(x, train=train)
+
+        x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
+        # custom head (reference image_inference.py:59-65); dropouts are
+        # identity at inference
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dense(512, dtype=self.dtype, name='fc1')(x)
+        feat = nn.relu(x)
+        x = nn.Dropout(0.3, deterministic=not train)(feat)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name='fc2')(x)
+        return logits.astype(jnp.float32), feat.astype(jnp.float32)

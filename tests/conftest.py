@@ -2,14 +2,18 @@
 
 Tests run on a virtual 8-device CPU mesh (the JAX analogue of a fake
 distributed backend) so they are hermetic, deterministic, and leave the TPU
-free. Env vars must be set before jax initializes, hence this runs at
-conftest import time.
+free.
+
+Environment note: this container's sitecustomize registers the remote
+`axon` TPU backend at interpreter start and forces jax_platforms to
+"axon,cpu" — plain JAX_PLATFORMS=cpu is overridden. The reliable override
+is jax.config.update('jax_platforms', 'cpu') before any device is created,
+which is done here (conftest imports before all tests).
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,3 +23,9 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault("MEC_COMPUTE_DTYPE", "float32")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import mec_tpu  # noqa: E402,F401  (applies the fp32 matmul-precision policy)

@@ -1,0 +1,156 @@
+"""Torch oracle models for converter/parity tests.
+
+These are *test fixtures*: compact PyTorch builds of the reference
+architectures (same operator graphs; state_dict key layout matches what the
+reference trainers save) used purely as numerical oracles for the
+Keras/torch -> flax converters. torchvision is unavailable in this
+environment, so the ResNet50 is assembled here with torchvision's module
+naming (base.conv1, base.layerN.M.convK, base.fc.{1,4}).
+"""
+
+import torch
+import torch.nn as nn
+
+
+def projection(d_in, d_out):
+    return nn.Sequential(nn.Linear(d_in, d_out), nn.LayerNorm(d_out),
+                         nn.ReLU(), nn.Dropout(0.3))
+
+
+class OracleCrossModalAttention(nn.Module):
+    def __init__(self, hidden=256, heads=4):
+        super().__init__()
+        self.attention = nn.MultiheadAttention(hidden, heads, batch_first=True)
+        self.norm = nn.LayerNorm(hidden)
+        self.dropout = nn.Dropout(0.1)
+
+    def forward(self, q, kv):
+        out, _ = self.attention(q, kv, kv)
+        return self.norm(q + self.dropout(out))
+
+
+class OracleAttentionFusion(nn.Module):
+    def __init__(self, dims, hidden=256):
+        super().__init__()
+        self.projections = nn.ModuleList([projection(d, hidden) for d in dims])
+        self.attention = nn.Sequential(
+            nn.Linear(hidden * len(dims), hidden), nn.Tanh(),
+            nn.Linear(hidden, len(dims)), nn.Softmax(dim=-1))
+
+    def forward(self, feats):
+        proj = [p(f) for p, f in zip(self.projections, feats)]
+        w = self.attention(torch.cat(proj, -1))
+        return (torch.stack(proj, 1) * w.unsqueeze(-1)).sum(1), w
+
+
+class OracleFusionModel(nn.Module):
+    """Mirror of reference inference/multimodal_fusion.py:108-182."""
+
+    def __init__(self, sd=64, td=768, imd=512, nc=7, hidden=256):
+        super().__init__()
+        self.speech_proj = projection(sd, hidden)
+        self.text_proj = projection(td, hidden)
+        self.image_proj = projection(imd, hidden)
+        self.cross_attn_speech = OracleCrossModalAttention(hidden)
+        self.cross_attn_text = OracleCrossModalAttention(hidden)
+        self.cross_attn_image = OracleCrossModalAttention(hidden)
+        self.attention_fusion = OracleAttentionFusion([hidden] * 3, hidden)
+        self.decision_weights = nn.Sequential(
+            nn.Linear(nc * 3, 64), nn.ReLU(), nn.Linear(64, 3),
+            nn.Softmax(dim=-1))
+        self.classifier = nn.Sequential(
+            nn.Linear(hidden + nc, hidden), nn.LayerNorm(hidden), nn.ReLU(),
+            nn.Dropout(0.4), nn.Linear(hidden, hidden // 2), nn.ReLU(),
+            nn.Dropout(0.3), nn.Linear(hidden // 2, nc))
+
+    def forward(self, sf, tf, imf, sp, tp, ip):
+        a = self.speech_proj(sf).unsqueeze(1)
+        b = self.text_proj(tf).unsqueeze(1)
+        c = self.image_proj(imf).unsqueeze(1)
+        ae = self.cross_attn_speech(a, torch.cat([b, c], 1)).squeeze(1)
+        be = self.cross_attn_text(b, torch.cat([a, c], 1)).squeeze(1)
+        ce = self.cross_attn_image(c, torch.cat([a, b], 1)).squeeze(1)
+        fused, aw = self.attention_fusion([ae, be, ce])
+        preds = torch.cat([sp, tp, ip], -1)
+        dw = self.decision_weights(preds)
+        wp = (torch.stack([sp, tp, ip], 1) * dw.unsqueeze(-1)).sum(1)
+        logits = self.classifier(torch.cat([fused, wp], -1))
+        return logits, aw, dw
+
+
+class OracleBottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class OracleResNet50(nn.Module):
+    """torchvision-compatible resnet50 skeleton (state_dict key layout)."""
+
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make_layer(64, 3)
+        self.layer2 = self._make_layer(128, 4, stride=2)
+        self.layer3 = self._make_layer(256, 6, stride=2)
+        self.layer4 = self._make_layer(512, 3, stride=2)
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(512 * 4, num_classes)
+
+    def _make_layer(self, planes, blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * 4:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride,
+                          bias=False),
+                nn.BatchNorm2d(planes * 4))
+        layers = [OracleBottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * 4
+        layers += [OracleBottleneck(self.inplanes, planes)
+                   for _ in range(blocks - 1)]
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = self.avgpool(x).flatten(1)
+        return self.fc(x)
+
+
+class OracleImageEmotionModel(nn.Module):
+    """Mirror of reference inference/image_inference.py:54-92."""
+
+    def __init__(self, num_classes=7):
+        super().__init__()
+        self.base = OracleResNet50()
+        in_features = self.base.fc.in_features
+        self.base.fc = nn.Sequential(
+            nn.Dropout(0.5), nn.Linear(in_features, 512), nn.ReLU(),
+            nn.Dropout(0.3), nn.Linear(512, num_classes))
+
+    def forward(self, x):
+        return self.base(x)
