@@ -1,0 +1,630 @@
+"""The inference engine.
+
+Inverts the reference's serving design: instead of N forked workers each
+reconstructing all four models from disk per HTTP request
+(reference app.py:225,256,290,336,502,519,540,568 — the dominant latency
+pathology, SURVEY.md §3.1), one process loads every available artifact once,
+keeps params on device, and serves batched jitted graphs:
+
+  * speech: waveform -> fused frontend(56-dim) -> scaler -> DNN, returning
+    probabilities AND the 64-dim penultimate vector in one pass
+  * text (BERT): ids/mask -> logits + [CLS] embedding in one pass
+  * text (Bi-LSTM): ids -> probabilities (the fast variant)
+  * image: uint8 pixels -> on-device normalize -> ResNet50 -> logits + feat
+  * fusion: features+preds -> logits + attention/decision weights
+  * tri-modal: ALL of the above as ONE traced graph — a single device
+    dispatch per multimodal request batch (the reference runs 3 encoders
+    twice each plus fusion = 7+ framework invocations)
+
+Batch sizes are bucketed (Config.BATCH_BUCKETS) so each shape compiles
+exactly once; requests are padded up to the bucket and results sliced.
+
+Artifacts load with priority: native .mecp -> reference format
+(.h5/.pt/HF dir, converted on first load and cached as .mecp). Absent
+artifacts leave the modality in fallback mode — the deterministic heuristic
+ladder (reference speech_inference.py:36-58, text_inference.py:53-70,
+image_inference.py:94-102) is preserved as observable API behavior.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mec_tpu.config import Config
+from mec_tpu.convert import store
+from mec_tpu.models.bert import BertForSequenceClassification
+from mec_tpu.models.bilstm import BiLSTMTextModel
+from mec_tpu.models.fusion import MultiModalFusionModel
+from mec_tpu.models.resnet import ImageEmotionModel
+from mec_tpu.models.speech_dnn import SpeechDNN
+from mec_tpu.ops import audio_features as af
+from mec_tpu.ops import wav
+from mec_tpu.image.preprocess import IMAGENET_MEAN, IMAGENET_STD
+from mec_tpu.text.cleaning import clean_text
+from mec_tpu.text.keras_tokenizer import KerasTokenizer
+from mec_tpu.text.wordpiece import WordPieceTokenizer
+
+log = logging.getLogger('mec_tpu.serving')
+
+EMOTIONS = Config.EMOTIONS
+
+# Keyword fallback map (reference text_inference.py:12-20)
+KEYWORD_MAP = {
+    'happy': ['happy', 'joy', 'glad', 'pleased', 'delighted', 'cheerful',
+              'love', 'excited'],
+    'sad': ['sad', 'down', 'unhappy', 'depressed', 'blue', 'disappointed',
+            'heartbroken'],
+    'angry': ['angry', 'mad', 'furious', 'rage', 'annoyed', 'irritated',
+              'frustrated'],
+    'fear': ['scared', 'afraid', 'fear', 'terrified', 'anxious', 'nervous',
+             'worried'],
+    'disgust': ['disgust', 'gross', 'nasty', 'revolting', 'sick'],
+    'surprise': ['surprised', 'amazed', 'astonished', 'wow', 'shocked'],
+    'neutral': [],
+}
+
+
+def heuristic_probs(label: str) -> List[float]:
+    """The 0.9 / uniform-0.1 split used by every reference fallback
+    (reference speech_inference.py:50-52)."""
+    probs = np.ones(len(EMOTIONS)) * (0.1 / (len(EMOTIONS) - 1))
+    probs[EMOTIONS.index(label)] = 0.9
+    return probs.tolist()
+
+
+def result_dict(probs: Sequence[float]) -> Dict[str, Any]:
+    probs = [float(p) for p in probs]
+    idx = int(np.argmax(probs))
+    return {'emotion': EMOTIONS[idx], 'confidence': float(probs[idx]),
+            'all_probabilities': probs}
+
+
+def _bucket_for(n: int) -> int:
+    for b in Config.BATCH_BUCKETS:
+        if n <= b:
+            return b
+    return int(np.ceil(n / Config.BATCH_BUCKETS[-1])) * Config.BATCH_BUCKETS[-1]
+
+
+def _pad_rows(x: np.ndarray, n: int) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    pad = np.zeros((n - x.shape[0],) + x.shape[1:], dtype=x.dtype)
+    return np.concatenate([x, pad], axis=0)
+
+
+class EmotionEngine:
+    """Process-wide singleton owning params + compiled graphs."""
+
+    def __init__(self, models_dir: Optional[str] = None):
+        self.models_dir = models_dir
+        self.compute_dtype = (jnp.bfloat16
+                              if Config.COMPUTE_DTYPE == 'bfloat16'
+                              else jnp.float32)
+        self.speech: Optional[Dict[str, Any]] = None
+        self.bert: Optional[Dict[str, Any]] = None
+        self.lstm: Optional[Dict[str, Any]] = None
+        self.image: Optional[Dict[str, Any]] = None
+        self.fusion: Optional[Dict[str, Any]] = None
+        self.bert_tokenizer: Optional[WordPieceTokenizer] = None
+        self.lstm_tokenizer: Optional[KerasTokenizer] = None
+
+        self._load_all()
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    # artifact loading
+    # ------------------------------------------------------------------
+    def _path(self, p: str) -> str:
+        if self.models_dir is not None:
+            return os.path.join(self.models_dir, os.path.basename(p))
+        return p
+
+    def _load_native_or(self, ref_path: str, convert_fn):
+        """Try .mecp, else convert the reference artifact and cache."""
+        ref_path = self._path(ref_path)
+        nat = store.native_path(ref_path)
+        if os.path.exists(nat):
+            return store.load_params(nat)
+        if os.path.exists(ref_path):
+            converted = convert_fn(ref_path)
+            out = {'variables': converted, 'meta': {}}
+            try:
+                store.save_params(nat, converted)
+            except OSError:
+                pass
+            return out
+        return None
+
+    def _load_all(self) -> None:
+        # speech: .h5 + scaler .pkl
+        try:
+            from mec_tpu.convert.keras_h5 import (convert_speech_h5,
+                                                  load_sklearn_scaler)
+            loaded = self._load_native_or(Config.SPEECH_MODEL_PATH,
+                                          convert_speech_h5)
+            if loaded is not None:
+                scaler_path = self._path(Config.SPEECH_SCALER_PATH)
+                scaler_nat = os.path.splitext(scaler_path)[0] + '.npz'
+                if os.path.exists(scaler_nat):
+                    z = np.load(scaler_nat)
+                    mean, scale = z['mean'], z['scale']
+                elif os.path.exists(scaler_path):
+                    mean, scale = load_sklearn_scaler(scaler_path)
+                else:
+                    mean = np.zeros(56, np.float32)
+                    scale = np.ones(56, np.float32)
+                self.speech = {'variables': loaded['variables'],
+                               'scaler': (jnp.asarray(mean),
+                                          jnp.asarray(scale))}
+        except Exception as e:  # degrade-don't-fail, reference-wide pattern
+            log.warning('speech model unavailable: %s', e)
+
+        # BERT dir
+        try:
+            bert_dir = self._path(Config.BERT_MODEL_PATH)
+            nat = os.path.join(bert_dir, 'bert_model.mecp')
+            kwargs = None
+            if os.path.isdir(bert_dir):
+                from mec_tpu.convert.hf_bert import (convert_bert_dir,
+                                                     model_kwargs_from_config,
+                                                     read_config)
+                if os.path.exists(os.path.join(bert_dir, 'config.json')):
+                    kwargs = model_kwargs_from_config(read_config(bert_dir))
+                if os.path.exists(nat):
+                    variables = store.load_params(nat)['variables']
+                else:
+                    variables = convert_bert_dir(bert_dir)
+                    try:
+                        store.save_params(nat, variables)
+                    except OSError:
+                        pass
+                self.bert = {'variables': variables, 'kwargs': kwargs or {}}
+                self.bert_tokenizer = WordPieceTokenizer.from_pretrained_dir(
+                    bert_dir)
+                if self.bert_tokenizer is None:
+                    log.warning('BERT vocab.txt missing; text model disabled')
+                    self.bert = None
+        except Exception as e:
+            log.warning('BERT model unavailable: %s', e)
+            self.bert = None
+
+        # Bi-LSTM .h5 + tokenizer
+        try:
+            from mec_tpu.convert.keras_h5 import convert_lstm_text_h5
+            loaded = self._load_native_or(Config.TEXT_MODEL_PATH,
+                                          convert_lstm_text_h5)
+            if loaded is not None:
+                tok_path = self._path(
+                    os.path.splitext(Config.TEXT_MODEL_PATH)[0]
+                    + '_tokenizer')
+                tok = None
+                for cand in (tok_path + '.json', tok_path + '.pkl'):
+                    if os.path.exists(cand):
+                        tok = KerasTokenizer.load(cand)
+                        break
+                if tok is not None:
+                    self.lstm = {'variables': loaded['variables']}
+                    self.lstm_tokenizer = tok
+        except Exception as e:
+            log.warning('LSTM text model unavailable: %s', e)
+
+        # image .pt
+        try:
+            from mec_tpu.convert.torch_pt import convert_image_pt
+            ref = Config.IMAGE_MODEL_PATH.replace('.h5', '.pt')
+            loaded = self._load_native_or(ref, convert_image_pt)
+            if loaded is not None:
+                self.image = {'variables': loaded['variables']}
+        except Exception as e:
+            log.warning('image model unavailable: %s', e)
+
+        # fusion .pt
+        try:
+            from mec_tpu.convert.torch_pt import (convert_fusion_pt,
+                                                  fusion_config_from_pt)
+            ref = self._path(Config.FUSION_MODEL_PATH.replace('.pkl', '.pt'))
+            nat = store.native_path(ref)
+            if os.path.exists(nat):
+                loaded = store.load_params(nat)
+                self.fusion = {'variables': loaded['variables'],
+                               'config': loaded['meta'].get('config', {})}
+            elif os.path.exists(ref):
+                cfg = fusion_config_from_pt(ref)
+                variables = convert_fusion_pt(ref)
+                try:
+                    store.save_params(nat, variables, meta={'config': cfg})
+                except OSError:
+                    pass
+                self.fusion = {'variables': variables, 'config': cfg}
+        except Exception as e:
+            log.warning('fusion model unavailable: %s', e)
+
+    # ------------------------------------------------------------------
+    # jitted graphs
+    # ------------------------------------------------------------------
+    def _build_jits(self) -> None:
+        # Derive architecture dims from the loaded params so non-default
+        # artifacts (e.g. different widths) serve correctly.
+        if self.speech is not None:
+            p = self.speech['variables']['params']
+            n_blocks = sum(1 for k in p if k.startswith('bn_'))
+            widths = tuple(p[f'dense_{i}']['kernel'].shape[1]
+                           for i in range(n_blocks))
+            speech_model = SpeechDNN(widths=widths,
+                                     dropout_rates=(0.0,) * len(widths))
+        else:
+            speech_model = SpeechDNN()
+        image_model = ImageEmotionModel()
+        fusion_kwargs = (self.fusion or {}).get('config') or {}
+        fusion_model = MultiModalFusionModel(**{
+            k: v for k, v in fusion_kwargs.items()
+            if k in ('speech_dim', 'text_dim', 'image_dim', 'num_classes',
+                     'hidden_dim')})
+        bert_kwargs = (self.bert or {}).get('kwargs') or {}
+        bert_model = BertForSequenceClassification(**bert_kwargs)
+        if self.lstm is not None:
+            p = self.lstm['variables']['params']
+            lstm_model = BiLSTMTextModel(
+                vocab_size=p['embedding']['embedding'].shape[0],
+                embed_dim=p['embedding']['embedding'].shape[1],
+                lstm_units=(
+                    p['bilstm_1']['forward']['recurrent_kernel'].shape[0],
+                    p['bilstm_2']['forward']['recurrent_kernel'].shape[0]),
+                dense_units=(p['dense_1']['kernel'].shape[1],
+                             p['dense_2']['kernel'].shape[1]))
+        else:
+            lstm_model = BiLSTMTextModel()
+
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+
+        def speech_fwd(variables, scaler, waves):
+            feats = af.audio_features_56(waves)
+            x = (feats - scaler[0]) / scaler[1]
+            probs, penult = speech_model.apply(variables, x)
+            return probs, penult
+
+        def bert_fwd(variables, ids, mask):
+            logits, cls = bert_model.apply(variables, ids, mask)
+            return jax.nn.softmax(logits, axis=-1), cls
+
+        def lstm_fwd(variables, ids):
+            probs, _pen = lstm_model.apply(variables, ids)
+            return probs
+
+        def image_fwd(variables, img_u8):
+            x = img_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            logits, feat = image_model.apply(variables, x)
+            return jax.nn.softmax(logits, axis=-1), feat
+
+        def fusion_fwd(variables, s_feat, t_feat, i_feat, s_p, t_p, i_p):
+            logits, aw, dw = fusion_model.apply(variables, s_feat, t_feat,
+                                                i_feat, s_p, t_p, i_p)
+            return jax.nn.softmax(logits, axis=-1), aw, dw
+
+        def trimodal_fwd(sv, scaler, bv, iv, fv, waves, ids, mask, img_u8):
+            """One traced graph: 3 encoders (single pass each) + fusion."""
+            s_probs, s_pen = speech_fwd(sv, scaler, waves)
+            t_probs, cls = bert_fwd(bv, ids, mask)
+            i_probs, i_feat = image_fwd(iv, img_u8)
+            f_probs, aw, dw = fusion_fwd(fv, s_pen, cls, i_feat,
+                                         s_probs, t_probs, i_probs)
+            return s_probs, t_probs, i_probs, f_probs, aw, dw
+
+        self._speech_jit = jax.jit(speech_fwd)
+        self._bert_jit = jax.jit(bert_fwd)
+        self._lstm_jit = jax.jit(lstm_fwd)
+        self._image_jit = jax.jit(image_fwd)
+        self._fusion_jit = jax.jit(fusion_fwd)
+        self._trimodal_jit = jax.jit(trimodal_fwd)
+        self._spectral_jit = jax.jit(af.spectral_features_4)
+
+    def warmup(self, buckets: Sequence[int] = (1,)) -> None:
+        """Compile the serving graphs ahead of traffic."""
+        for b in buckets:
+            if self.speech:
+                self._run_speech(np.zeros((b, af.N_SAMPLES), np.float32))
+            if self.bert:
+                ids = np.zeros((b, Config.MAX_TEXT_LENGTH), np.int32)
+                self._bert_jit(self.bert['variables'], ids, ids)
+            if self.image:
+                self._image_jit(self.image['variables'],
+                                np.zeros((b, 224, 224, 3), np.uint8))
+
+    # ------------------------------------------------------------------
+    # per-modality prediction (batched, fallback-laddered)
+    # ------------------------------------------------------------------
+    def _run_speech(self, waves: np.ndarray):
+        b = _bucket_for(waves.shape[0])
+        probs, penult = self._speech_jit(self.speech['variables'],
+                                         self.speech['scaler'],
+                                         _pad_rows(waves, b))
+        return (np.asarray(probs)[:waves.shape[0]],
+                np.asarray(penult)[:waves.shape[0]])
+
+    def predict_speech_waves(self, waves: np.ndarray,
+                             want_features: bool = False) -> List[Dict]:
+        """(B, 66150) float32 -> result dicts (+features for fusion)."""
+        if self.speech is None:
+            return [self._speech_heuristic(w) for w in waves]
+        probs, penult = self._run_speech(waves)
+        out = []
+        for i in range(waves.shape[0]):
+            r = result_dict(probs[i])
+            if want_features:
+                r['_features'] = penult[i]
+            out.append(r)
+        return out
+
+    def _speech_heuristic(self, wave: np.ndarray) -> Dict[str, Any]:
+        """RMS/centroid threshold fallback
+        (reference speech_inference.py:36-58)."""
+        zcr, centroid, rolloff, rms = np.asarray(
+            self._spectral_jit(wave[None, :]))[0]
+        if rms > 0.06 and centroid > 2000:
+            label = 'angry'
+        elif rms < 0.02 and centroid < 1500:
+            label = 'sad'
+        else:
+            label = 'neutral'
+        probs = heuristic_probs(label)
+        return {'emotion': label, 'confidence': float(max(probs)),
+                'all_probabilities': probs, '_fallback': True}
+
+    def predict_speech_paths(self, paths: Sequence[str],
+                             want_features: bool = False) -> List[Dict]:
+        waves = np.stack([wav.load_and_fix_length(p)[0] for p in paths])
+        return self.predict_speech_waves(waves, want_features)
+
+    def text_keyword_heuristic(self, text: str) -> Dict[str, Any]:
+        """Keyword-map fallback (reference text_inference.py:53-70)."""
+        cleaned = clean_text(text)
+        selected = 'neutral'
+        for label, keywords in KEYWORD_MAP.items():
+            for kw in keywords:
+                if f' {kw} ' in f' {cleaned} ':
+                    selected = label
+                    break
+            if selected != 'neutral':
+                break
+        probs = heuristic_probs(selected)
+        return {'emotion': selected, 'confidence': float(max(probs)),
+                'all_probabilities': probs, '_fallback': True}
+
+    def predict_texts(self, texts: Sequence[str],
+                      want_features: bool = False) -> List[Dict]:
+        if self.bert is None or self.bert_tokenizer is None:
+            return [self.text_keyword_heuristic(t) for t in texts]
+        ids, mask = self.bert_tokenizer.encode_batch(
+            list(texts), Config.MAX_TEXT_LENGTH)
+        b = _bucket_for(ids.shape[0])
+        probs, cls = self._bert_jit(self.bert['variables'],
+                                    _pad_rows(ids, b), _pad_rows(mask, b))
+        probs = np.asarray(probs)[:ids.shape[0]]
+        cls = np.asarray(cls)[:ids.shape[0]]
+        out = []
+        for i in range(len(texts)):
+            r = result_dict(probs[i])
+            if want_features:
+                r['_features'] = cls[i]
+            out.append(r)
+        return out
+
+    def predict_texts_lstm(self, texts: Sequence[str]) -> List[Dict]:
+        """The fast Bi-LSTM variant (reference text_lstm_inference.py)."""
+        if self.lstm is None or self.lstm_tokenizer is None:
+            return [self.text_keyword_heuristic(t) for t in texts]
+        cleaned = [t.lower().strip() for t in texts]
+        ids = self.lstm_tokenizer.encode_batch(cleaned,
+                                               Config.MAX_TEXT_LENGTH)
+        b = _bucket_for(ids.shape[0])
+        probs = np.asarray(self._lstm_jit(self.lstm['variables'],
+                                          _pad_rows(ids, b)))[:len(texts)]
+        return [result_dict(p) for p in probs]
+
+    IMAGE_FALLBACK_LABEL = 'neutral'
+
+    def image_fallback(self) -> Dict[str, Any]:
+        probs = heuristic_probs(self.IMAGE_FALLBACK_LABEL)
+        return {'emotion': self.IMAGE_FALLBACK_LABEL,
+                'confidence': float(max(probs)),
+                'all_probabilities': probs, '_fallback': True}
+
+    def predict_images(self, imgs_u8: np.ndarray,
+                       want_features: bool = False) -> List[Dict]:
+        """(B, 224, 224, 3) uint8 -> result dicts."""
+        if self.image is None:
+            return [self.image_fallback() for _ in range(imgs_u8.shape[0])]
+        b = _bucket_for(imgs_u8.shape[0])
+        probs, feat = self._image_jit(self.image['variables'],
+                                      _pad_rows(imgs_u8, b))
+        probs = np.asarray(probs)[:imgs_u8.shape[0]]
+        feat = np.asarray(feat)[:imgs_u8.shape[0]]
+        out = []
+        for i in range(imgs_u8.shape[0]):
+            r = result_dict(probs[i])
+            if want_features:
+                r['_features'] = feat[i]
+            out.append(r)
+        return out
+
+    def predict_image_paths(self, paths: Sequence[str],
+                            want_features: bool = False) -> List[Dict]:
+        if self.image is None:
+            return [self.image_fallback() for _ in paths]
+        from mec_tpu.image.preprocess import load_image_uint8
+        try:
+            imgs = np.stack([load_image_uint8(p) for p in paths])
+        except Exception as e:
+            log.warning('image decode failed: %s', e)
+            return [self.image_fallback() for _ in paths]
+        return self.predict_images(imgs, want_features)
+
+    # ------------------------------------------------------------------
+    # fusion
+    # ------------------------------------------------------------------
+    WEIGHTS = [0.3, 0.35, 0.35]  # speech, text, image (reference :23)
+
+    def fuse_weighted(self, speech_probs, text_probs, image_probs
+                      ) -> Dict[str, Any]:
+        """Weighted-average fallback
+        (reference multimodal_fusion.py:184-199)."""
+        n = len(EMOTIONS)
+        s = np.array(speech_probs) if speech_probs is not None else np.zeros(n)
+        t = np.array(text_probs) if text_probs is not None else np.zeros(n)
+        i = np.array(image_probs) if image_probs is not None else np.zeros(n)
+        weighted = (self.WEIGHTS[0] * s + self.WEIGHTS[1] * t
+                    + self.WEIGHTS[2] * i)
+        if weighted.sum() > 0:
+            weighted = weighted / weighted.sum()
+        idx = int(np.argmax(weighted))
+        return {'emotion': EMOTIONS[idx],
+                'confidence': float(weighted[idx]),
+                'all_probabilities': weighted.tolist()}
+
+    def fuse_attention(self, s_feat, t_feat, i_feat, s_p, t_p, i_p
+                       ) -> Dict[str, Any]:
+        probs, aw, dw = self._fusion_jit(
+            self.fusion['variables'],
+            np.asarray(s_feat, np.float32)[None],
+            np.asarray(t_feat, np.float32)[None],
+            np.asarray(i_feat, np.float32)[None],
+            np.asarray(s_p, np.float32)[None],
+            np.asarray(t_p, np.float32)[None],
+            np.asarray(i_p, np.float32)[None])
+        return self._fusion_result(np.asarray(probs)[0], np.asarray(aw)[0],
+                                   np.asarray(dw)[0])
+
+    @staticmethod
+    def _fusion_result(probs, aw, dw) -> Dict[str, Any]:
+        r = result_dict(probs)
+        r['attention_weights'] = {'speech': float(aw[0]),
+                                  'text': float(aw[1]),
+                                  'image': float(aw[2])}
+        r['decision_weights'] = {'speech': float(dw[0]),
+                                 'text': float(dw[1]),
+                                 'image': float(dw[2])}
+        return r
+
+    # ------------------------------------------------------------------
+    # multimodal orchestration (reference multimodal_fusion.py:244-287)
+    # ------------------------------------------------------------------
+    def predict_multimodal(self, audio_path: Optional[str] = None,
+                           text: Optional[str] = None,
+                           image_path: Optional[str] = None
+                           ) -> Dict[str, Dict]:
+        all_live = (self.fusion is not None and self.speech is not None
+                    and self.bert is not None and self.image is not None)
+        use_trimodal = all_live and audio_path and text and image_path
+
+        if use_trimodal:
+            try:
+                return self._predict_trimodal_fused(audio_path, text,
+                                                    image_path)
+            except Exception as e:
+                log.warning('fused tri-modal path failed: %s', e)
+
+        results: Dict[str, Dict] = {}
+        if audio_path:
+            results['speech'] = self.predict_speech_paths([audio_path])[0]
+        if text:
+            results['text'] = self.predict_texts([text])[0]
+        if image_path:
+            results['image'] = self.predict_image_paths([image_path])[0]
+        if len(results) > 1:
+            results['fusion'] = self.fuse_weighted(
+                results.get('speech', {}).get('all_probabilities'),
+                results.get('text', {}).get('all_probabilities'),
+                results.get('image', {}).get('all_probabilities'))
+        for r in results.values():
+            r.pop('_features', None)
+        return results
+
+    def _predict_trimodal_fused(self, audio_path: str, text: str,
+                                image_path: str) -> Dict[str, Dict]:
+        """Single device dispatch for the flagship path."""
+        from mec_tpu.image.preprocess import load_image_uint8
+        waves = wav.load_and_fix_length(audio_path)[0][None, :]
+        ids, mask = self.bert_tokenizer.encode_batch(
+            [text], Config.MAX_TEXT_LENGTH)
+        img = load_image_uint8(image_path)[None]
+        b = _bucket_for(1)
+        s_p, t_p, i_p, f_p, aw, dw = self._trimodal_jit(
+            self.speech['variables'], self.speech['scaler'],
+            self.bert['variables'], self.image['variables'],
+            self.fusion['variables'],
+            _pad_rows(waves, b), _pad_rows(ids, b), _pad_rows(mask, b),
+            _pad_rows(img, b))
+        return {
+            'speech': result_dict(np.asarray(s_p)[0]),
+            'text': result_dict(np.asarray(t_p)[0]),
+            'image': result_dict(np.asarray(i_p)[0]),
+            'fusion': self._fusion_result(np.asarray(f_p)[0],
+                                          np.asarray(aw)[0],
+                                          np.asarray(dw)[0]),
+        }
+
+    def predict_multimodal_batch(self, requests: Sequence[Dict]
+                                 ) -> List[Dict[str, Dict]]:
+        """Batched tri-modal: requests with all three inputs share one
+        dispatch; the rest take the per-modality path."""
+        out: List[Optional[Dict]] = [None] * len(requests)
+        full_idx = [i for i, r in enumerate(requests)
+                    if r.get('audio_path') and r.get('text')
+                    and r.get('image_path')]
+        all_live = (self.fusion is not None and self.speech is not None
+                    and self.bert is not None and self.image is not None)
+        if all_live and full_idx:
+            from mec_tpu.image.preprocess import load_image_uint8
+            waves = np.stack([wav.load_and_fix_length(
+                requests[i]['audio_path'])[0] for i in full_idx])
+            ids, mask = self.bert_tokenizer.encode_batch(
+                [requests[i]['text'] for i in full_idx],
+                Config.MAX_TEXT_LENGTH)
+            imgs = np.stack([load_image_uint8(requests[i]['image_path'])
+                             for i in full_idx])
+            b = _bucket_for(len(full_idx))
+            s_p, t_p, i_p, f_p, aw, dw = self._trimodal_jit(
+                self.speech['variables'], self.speech['scaler'],
+                self.bert['variables'], self.image['variables'],
+                self.fusion['variables'],
+                _pad_rows(waves, b), _pad_rows(ids, b), _pad_rows(mask, b),
+                _pad_rows(imgs, b))
+            for j, i in enumerate(full_idx):
+                out[i] = {
+                    'speech': result_dict(np.asarray(s_p)[j]),
+                    'text': result_dict(np.asarray(t_p)[j]),
+                    'image': result_dict(np.asarray(i_p)[j]),
+                    'fusion': self._fusion_result(np.asarray(f_p)[j],
+                                                  np.asarray(aw)[j],
+                                                  np.asarray(dw)[j]),
+                }
+        for i, r in enumerate(requests):
+            if out[i] is None:
+                out[i] = self.predict_multimodal(r.get('audio_path'),
+                                                 r.get('text'),
+                                                 r.get('image_path'))
+        return out
+
+
+_engine: Optional[EmotionEngine] = None
+_engine_lock = threading.Lock()
+
+
+def get_engine(models_dir: Optional[str] = None,
+               reload: bool = False) -> EmotionEngine:
+    global _engine
+    with _engine_lock:
+        if _engine is None or reload:
+            _engine = EmotionEngine(models_dir=models_dir)
+        return _engine
