@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark: tri-modal predictions/sec/chip through the serving engine.
+
+Measures the flagship path end-to-end (wav decode + tokenize + image
+decode on host, one fused tri-modal device dispatch per batch) against
+the BASELINE.json north star (>=50x CPU baseline, p50 < 20 ms).
+
+vs_baseline = TPU throughput / CPU throughput of the same stack, measured
+in a JAX_PLATFORMS=cpu subprocess (the reference's own TF/torch/librosa
+stack is not installable here; the CPU run of this stack is the
+CPU-baseline proxy and is itself batched, i.e. a *stronger* baseline than
+the reference's one-sample-at-a-time Flask path).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+MODE = os.environ.get('MEC_BENCH_MODE', 'tpu')
+# Serving-perf mode: bf16 activations on the MXU (params stay fp32 in HBM;
+# parity tests pin MEC_COMPUTE_DTYPE=float32 separately).
+os.environ.setdefault('MEC_COMPUTE_DTYPE', 'bfloat16')
+if MODE == 'cpu':
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+BATCH = int(os.environ.get('MEC_BENCH_BATCH', '32'))
+TPU_ITERS = int(os.environ.get('MEC_BENCH_ITERS', '12'))
+CPU_ITERS = int(os.environ.get('MEC_BENCH_CPU_ITERS', '2'))
+LATENCY_REPS = int(os.environ.get('MEC_BENCH_LATENCY_REPS', '30'))
+
+
+def prepare_assets(tmp: str):
+    """One wav + one jpg + one sentence, written once."""
+    from mec_tpu.ops import wav as wav_ops
+    os.makedirs(tmp, exist_ok=True)
+    wav_path = os.path.join(tmp, 'sample.wav')
+    if not os.path.exists(wav_path):
+        t = np.arange(22050 * 3) / 22050.0
+        y = (0.3 * np.sin(2 * np.pi * 220 * t)
+             + 0.1 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)
+        wav_ops.write_wav(wav_path, y, 22050)
+    img_path = os.path.join(tmp, 'sample.jpg')
+    if not os.path.exists(img_path):
+        from PIL import Image
+        rng = np.random.RandomState(0)
+        Image.fromarray(rng.randint(0, 255, (224, 224, 3), np.uint8)
+                        ).save(img_path)
+    text = 'i am so happy today this is a wonderful day'
+    return wav_path, img_path, text
+
+
+def models_dir_or_synthetic() -> str:
+    """Prefer real converted artifacts under models/, else synthesize."""
+    from mec_tpu.config import Config
+    if os.path.exists(os.path.splitext(Config.SPEECH_MODEL_PATH)[0]
+                      + '.mecp'):
+        return os.path.dirname(Config.SPEECH_MODEL_PATH)
+    synth = os.path.join('/tmp', 'mec_bench_models')
+    marker = os.path.join(synth, 'fusion_model.mecp')
+    if not os.path.exists(marker):
+        from mec_tpu.serving.synthetic_artifacts import (
+            write_synthetic_artifacts)
+        write_synthetic_artifacts(synth)
+    return synth
+
+
+def run_bench():
+    from mec_tpu.serving.engine import EmotionEngine
+
+    tmp = '/tmp/mec_bench_assets'
+    wav_path, img_path, text = prepare_assets(tmp)
+    engine = EmotionEngine(models_dir=models_dir_or_synthetic())
+    assert engine.speech and engine.bert and engine.image and engine.fusion, \
+        'bench requires all four models live'
+
+    requests = [{'audio_path': wav_path, 'text': text,
+                 'image_path': img_path}] * BATCH
+    iters = TPU_ITERS if MODE == 'tpu' else CPU_ITERS
+
+    out = engine.predict_multimodal_batch(requests)  # compile + warm caches
+    assert 'fusion' in out[0] and 'attention_weights' in out[0]['fusion']
+
+    # Pipelined measurement: a few batches in flight, as a concurrent
+    # server would run (host decode/tokenize of batch N+1 overlaps the
+    # device round trip of batch N).
+    from concurrent.futures import ThreadPoolExecutor
+    workers = int(os.environ.get('MEC_BENCH_WORKERS', '4'))
+    with ThreadPoolExecutor(workers) as pool:
+        t0 = time.perf_counter()
+        futs = [pool.submit(engine.predict_multimodal_batch, requests)
+                for _ in range(iters)]
+        for f in futs:
+            out = f.result()
+        dt = time.perf_counter() - t0
+    throughput = BATCH * iters / dt
+    assert 'fusion' in out[0] and 'attention_weights' in out[0]['fusion']
+
+    # single-request p50 latency
+    engine.predict_multimodal(wav_path, text, img_path)  # bucket-1 compile
+    lat = []
+    for _ in range(LATENCY_REPS if MODE == 'tpu' else 3):
+        t0 = time.perf_counter()
+        engine.predict_multimodal(wav_path, text, img_path)
+        lat.append((time.perf_counter() - t0) * 1000)
+    p50 = float(np.median(lat))
+    return throughput, p50
+
+
+def main():
+    throughput, p50 = run_bench()
+    if MODE == 'cpu':
+        print(json.dumps({'cpu_preds_per_sec': throughput,
+                          'cpu_p50_ms': p50}))
+        return
+
+    # CPU-baseline subprocess (same stack, forced CPU backend)
+    cpu_tp = None
+    try:
+        env = dict(os.environ, MEC_BENCH_MODE='cpu')
+        res = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             timeout=1500)
+        for line in reversed(res.stdout.strip().splitlines()):
+            try:
+                cpu = json.loads(line)
+                cpu_tp = cpu['cpu_preds_per_sec']
+                break
+            except (json.JSONDecodeError, KeyError):
+                continue
+    except Exception:
+        pass
+
+    vs = round(throughput / cpu_tp, 2) if cpu_tp else None
+    print(json.dumps({
+        'metric': 'tri-modal predictions/sec/chip',
+        'value': round(throughput, 1),
+        'unit': 'preds/s',
+        'vs_baseline': vs,
+        'p50_ms': round(p50, 2),
+        'batch': BATCH,
+        'cpu_baseline_preds_per_sec': (round(cpu_tp, 1)
+                                       if cpu_tp else None),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -141,17 +141,49 @@ def piptrack_candidates(P: jnp.ndarray, fmin: float = 150.0,
     return pitches, mags, mask
 
 
+def _kth_smallest(values: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Exact k-th smallest (0-based) per row WITHOUT sorting.
+
+    TPU sorts are O(K log^2 K) bitonic passes — the dominant frontend cost
+    at K~47k. Instead binary-search the 32-bit float bit-space: map floats
+    to order-preserving uint32 keys, then 32 compare+count passes pin the
+    exact k-th key. values (B, K) float32, k (B,) int32 -> (B,) float32.
+    """
+    bits = jax.lax.bitcast_convert_type(values, jnp.int32)
+    u = bits.astype(jnp.uint32)
+    # order-preserving map: negative floats -> ~u, non-negative -> u | MSB
+    key = jnp.where(bits < 0, ~u, u | jnp.uint32(0x80000000))
+
+    B = values.shape[0]
+    lo0 = jnp.zeros((B,), jnp.uint32)
+    hi0 = jnp.full((B,), 0xFFFFFFFF, jnp.uint32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum((key <= mid[:, None]).astype(jnp.int32), axis=-1)
+        found = cnt >= k + 1          # k-th smallest is <= mid
+        return (jnp.where(found, lo, mid + 1), jnp.where(found, mid, hi))
+
+    lo, _ = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+    # invert the key map
+    back = jnp.where(lo & jnp.uint32(0x80000000) != 0,
+                     lo ^ jnp.uint32(0x80000000), ~lo)
+    return jax.lax.bitcast_convert_type(back.astype(jnp.uint32)
+                                        .astype(jnp.int32), jnp.float32)
+
+
 def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """np.median over values[mask], per batch row. values/mask: (B, K)."""
     big = jnp.float32(np.finfo(np.float32).max)
     filled = jnp.where(mask, values, big)
-    srt = jnp.sort(filled, axis=-1)
     k = jnp.sum(mask, axis=-1)                      # (B,)
     lo = jnp.maximum((k - 1) // 2, 0)
     hi = jnp.maximum(k // 2, 0)
-    lo_v = jnp.take_along_axis(srt, lo[:, None], axis=-1)[:, 0]
-    hi_v = jnp.take_along_axis(srt, hi[:, None], axis=-1)[:, 0]
-    med = 0.5 * (lo_v + hi_v)
+    # one selection pass over (2B, K) finds both middle elements
+    both = _kth_smallest(jnp.concatenate([filled, filled], axis=0),
+                         jnp.concatenate([lo, hi], axis=0))
+    med = 0.5 * (both[:values.shape[0]] + both[values.shape[0]:])
     return jnp.where(k > 0, med, 0.0)
 
 
@@ -165,9 +197,15 @@ def estimate_tuning_from_power(P: jnp.ndarray, resolution: float = 0.01,
     """
     B = P.shape[0]
     pitches, mags, mask = piptrack_candidates(P)
-    pitches = pitches.reshape(B, -1)
-    mags = mags.reshape(B, -1)
-    mask = mask.reshape(B, -1)
+    # Candidates only exist inside the piptrack [fmin, fmax) band; slice
+    # those bins statically before the O(K log K) steps below (3x fewer
+    # elements to sort; numerics unchanged — everything outside is masked).
+    freqs_np = filters.fft_frequencies(SR, N_FFT)
+    band = np.nonzero((freqs_np >= 150.0) & (freqs_np < 4000.0))[0]
+    lo_bin, hi_bin = int(band[0]), int(band[-1]) + 1
+    pitches = pitches[..., lo_bin:hi_bin].reshape(B, -1)
+    mags = mags[..., lo_bin:hi_bin].reshape(B, -1)
+    mask = mask[..., lo_bin:hi_bin].reshape(B, -1)
 
     pitch_mask = pitches > 0
     med = _masked_median(mags, pitch_mask)                       # (B,)
@@ -180,25 +218,30 @@ def estimate_tuning_from_power(P: jnp.ndarray, resolution: float = 0.01,
 
     n_bins = int(np.ceil(1.0 / resolution))                      # 100
     # np.histogram semantics: bin i is [edges[i], edges[i+1]) with float64
-    # edges from linspace. The residuals are float32; a float32 floor-divide
-    # can land one bin off right at an edge, so correct the initial guess
-    # with an exact double-single (hi+lo) comparison against the f64 edges.
+    # edges from linspace. The residuals are float32, so each f64 edge is
+    # carried as an exact double-single (hi + lo) pair and the bin test is
+    # done directly per bin: count_i = sum(sel & (e_i <= r) & !(e_{i+1} <= r)).
+    # The edges enter the loop as SCALARS — no (B, K)-sized gathers from a
+    # lookup table (TPU gathers were the frontend's dominant cost) and no
+    # (B, K, n_bins) one-hot.
     edges64 = np.linspace(-0.5, 0.5, n_bins + 1)
     hi = jnp.asarray(edges64.astype(np.float32))
     lo = jnp.asarray((edges64 - edges64.astype(np.float32)).astype(np.float32))
 
-    def edge_le(i, r):  # edges64[i] <= r, exactly
-        h, l = hi[i], lo[i]
+    def edge_le_scalar(h, l, r):  # edge <= r, exactly, h/l scalars
         return (h < r) | ((h == r) & (l <= 0))
 
-    idx = jnp.clip(jnp.floor((residual + 0.5) / resolution).astype(jnp.int32),
-                   0, n_bins - 1)
-    idx = jnp.where(edge_le(idx, residual), idx, idx - 1)
-    idx = jnp.where(edge_le(jnp.minimum(idx + 1, n_bins), residual),
-                    jnp.minimum(idx + 1, n_bins - 1), idx)
-    idx = jnp.clip(idx, 0, n_bins - 1)
-    onehot = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32)
-    counts = jnp.sum(onehot * sel[..., None], axis=1)            # (B, n_bins)
+    def count_bin(i):
+        ge_lo = edge_le_scalar(hi[i], lo[i], residual)
+        lt_hi = ~edge_le_scalar(hi[i + 1], lo[i + 1], residual)
+        # last bin is right-inclusive in np.histogram (residual < 0.5
+        # always, so this only matters for exact-edge pathologies)
+        lt_hi = jnp.where(i == n_bins - 1,
+                          lt_hi | (residual == hi[n_bins]), lt_hi)
+        return jnp.sum((sel & ge_lo & lt_hi).astype(jnp.int32), axis=-1)
+
+    counts = jax.lax.map(count_bin,
+                         jnp.arange(n_bins, dtype=jnp.int32)).T  # (B, n_bins)
     best = jnp.argmax(counts, axis=-1)
     tuning = hi[best]  # == float32(edges64[argmax]), matching np bins[argmax]
     has_any = jnp.any(sel, axis=-1)

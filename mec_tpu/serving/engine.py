@@ -248,6 +248,15 @@ class EmotionEngine:
         except Exception as e:
             log.warning('fusion model unavailable: %s', e)
 
+        # Commit every params tree to the device ONCE. Passing host numpy
+        # trees into jit re-uploads them on every call (for bert-base that
+        # is ~440 MB per request batch — the dominant cost over a remote
+        # device link); committed jax.Arrays are reused by reference.
+        for art in (self.speech, self.bert, self.lstm, self.image,
+                    self.fusion):
+            if art is not None:
+                art['variables'] = jax.device_put(art['variables'])
+
     # ------------------------------------------------------------------
     # jitted graphs
     # ------------------------------------------------------------------
@@ -260,17 +269,19 @@ class EmotionEngine:
             widths = tuple(p[f'dense_{i}']['kernel'].shape[1]
                            for i in range(n_blocks))
             speech_model = SpeechDNN(widths=widths,
-                                     dropout_rates=(0.0,) * len(widths))
+                                     dropout_rates=(0.0,) * len(widths),
+                                     dtype=self.compute_dtype)
         else:
-            speech_model = SpeechDNN()
-        image_model = ImageEmotionModel()
+            speech_model = SpeechDNN(dtype=self.compute_dtype)
+        image_model = ImageEmotionModel(dtype=self.compute_dtype)
         fusion_kwargs = (self.fusion or {}).get('config') or {}
         fusion_model = MultiModalFusionModel(**{
             k: v for k, v in fusion_kwargs.items()
             if k in ('speech_dim', 'text_dim', 'image_dim', 'num_classes',
-                     'hidden_dim')})
+                     'hidden_dim')}, dtype=self.compute_dtype)
         bert_kwargs = (self.bert or {}).get('kwargs') or {}
-        bert_model = BertForSequenceClassification(**bert_kwargs)
+        bert_model = BertForSequenceClassification(**bert_kwargs,
+                                                   dtype=self.compute_dtype)
         if self.lstm is not None:
             p = self.lstm['variables']['params']
             lstm_model = BiLSTMTextModel(
@@ -282,20 +293,30 @@ class EmotionEngine:
                 dense_units=(p['dense_1']['kernel'].shape[1],
                              p['dense_2']['kernel'].shape[1]))
         else:
-            lstm_model = BiLSTMTextModel()
+            lstm_model = BiLSTMTextModel(dtype=self.compute_dtype)
 
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
 
+        # Every entry point returns ONE packed (B, K) array. Over a remote
+        # device link each fetched array pays a full round trip (~30 ms on
+        # the axon tunnel); packing makes any result exactly one fetch.
+        def _decode_waves(waves):
+            # int16 wire format (perf mode): dequantize on device
+            if waves.dtype == jnp.int16:
+                return waves.astype(jnp.float32) / 32768.0
+            return waves
+
         def speech_fwd(variables, scaler, waves):
-            feats = af.audio_features_56(waves)
+            feats = af.audio_features_56(_decode_waves(waves))
             x = (feats - scaler[0]) / scaler[1]
             probs, penult = speech_model.apply(variables, x)
-            return probs, penult
+            return jnp.concatenate([probs, penult], axis=-1)  # (B, 7+64)
 
         def bert_fwd(variables, ids, mask):
             logits, cls = bert_model.apply(variables, ids, mask)
-            return jax.nn.softmax(logits, axis=-1), cls
+            probs = jax.nn.softmax(logits, axis=-1)
+            return jnp.concatenate([probs, cls], axis=-1)     # (B, 7+768)
 
         def lstm_fwd(variables, ids):
             probs, _pen = lstm_model.apply(variables, ids)
@@ -305,21 +326,27 @@ class EmotionEngine:
             x = img_u8.astype(jnp.float32) / 255.0
             x = (x - mean) / std
             logits, feat = image_model.apply(variables, x)
-            return jax.nn.softmax(logits, axis=-1), feat
+            probs = jax.nn.softmax(logits, axis=-1)
+            return jnp.concatenate([probs, feat], axis=-1)    # (B, 7+512)
 
         def fusion_fwd(variables, s_feat, t_feat, i_feat, s_p, t_p, i_p):
             logits, aw, dw = fusion_model.apply(variables, s_feat, t_feat,
                                                 i_feat, s_p, t_p, i_p)
-            return jax.nn.softmax(logits, axis=-1), aw, dw
+            probs = jax.nn.softmax(logits, axis=-1)
+            return jnp.concatenate([probs, aw, dw], axis=-1)  # (B, 7+3+3)
 
         def trimodal_fwd(sv, scaler, bv, iv, fv, waves, ids, mask, img_u8):
-            """One traced graph: 3 encoders (single pass each) + fusion."""
-            s_probs, s_pen = speech_fwd(sv, scaler, waves)
-            t_probs, cls = bert_fwd(bv, ids, mask)
-            i_probs, i_feat = image_fwd(iv, img_u8)
-            f_probs, aw, dw = fusion_fwd(fv, s_pen, cls, i_feat,
-                                         s_probs, t_probs, i_probs)
-            return s_probs, t_probs, i_probs, f_probs, aw, dw
+            """One traced graph: 3 encoders (single pass each) + fusion,
+            packed into a single (B, 7+7+7+13) output = one fetch."""
+            s = speech_fwd(sv, scaler, waves)
+            s_probs, s_pen = s[:, :7], s[:, 7:]
+            t = bert_fwd(bv, ids, mask)
+            t_probs, cls = t[:, :7], t[:, 7:]
+            im = image_fwd(iv, img_u8)
+            i_probs, i_feat = im[:, :7], im[:, 7:]
+            f = fusion_fwd(fv, s_pen, cls, i_feat,
+                           s_probs, t_probs, i_probs)
+            return jnp.concatenate([s_probs, t_probs, i_probs, f], axis=-1)
 
         self._speech_jit = jax.jit(speech_fwd)
         self._bert_jit = jax.jit(bert_fwd)
@@ -344,13 +371,20 @@ class EmotionEngine:
     # ------------------------------------------------------------------
     # per-modality prediction (batched, fallback-laddered)
     # ------------------------------------------------------------------
+    def _wire_waves(self, waves: np.ndarray) -> np.ndarray:
+        """Perf mode ships PCM16 (half the bytes over the device link;
+        WAV sources are 16-bit anyway). Parity mode ships float32."""
+        if self.compute_dtype == jnp.bfloat16:
+            return np.clip(np.rint(waves * 32768.0),
+                           -32768, 32767).astype(np.int16)
+        return waves
+
     def _run_speech(self, waves: np.ndarray):
         b = _bucket_for(waves.shape[0])
-        probs, penult = self._speech_jit(self.speech['variables'],
-                                         self.speech['scaler'],
-                                         _pad_rows(waves, b))
-        return (np.asarray(probs)[:waves.shape[0]],
-                np.asarray(penult)[:waves.shape[0]])
+        packed = np.asarray(self._speech_jit(
+            self.speech['variables'], self.speech['scaler'],
+            _pad_rows(self._wire_waves(waves), b)))[:waves.shape[0]]
+        return packed[:, :7], packed[:, 7:]
 
     def predict_speech_waves(self, waves: np.ndarray,
                              want_features: bool = False) -> List[Dict]:
@@ -408,10 +442,10 @@ class EmotionEngine:
         ids, mask = self.bert_tokenizer.encode_batch(
             list(texts), Config.MAX_TEXT_LENGTH)
         b = _bucket_for(ids.shape[0])
-        probs, cls = self._bert_jit(self.bert['variables'],
-                                    _pad_rows(ids, b), _pad_rows(mask, b))
-        probs = np.asarray(probs)[:ids.shape[0]]
-        cls = np.asarray(cls)[:ids.shape[0]]
+        packed = np.asarray(self._bert_jit(
+            self.bert['variables'], _pad_rows(ids, b),
+            _pad_rows(mask, b)))[:ids.shape[0]]
+        probs, cls = packed[:, :7], packed[:, 7:]
         out = []
         for i in range(len(texts)):
             r = result_dict(probs[i])
@@ -446,10 +480,10 @@ class EmotionEngine:
         if self.image is None:
             return [self.image_fallback() for _ in range(imgs_u8.shape[0])]
         b = _bucket_for(imgs_u8.shape[0])
-        probs, feat = self._image_jit(self.image['variables'],
-                                      _pad_rows(imgs_u8, b))
-        probs = np.asarray(probs)[:imgs_u8.shape[0]]
-        feat = np.asarray(feat)[:imgs_u8.shape[0]]
+        packed = np.asarray(self._image_jit(
+            self.image['variables'],
+            _pad_rows(imgs_u8, b)))[:imgs_u8.shape[0]]
+        probs, feat = packed[:, :7], packed[:, 7:]
         out = []
         for i in range(imgs_u8.shape[0]):
             r = result_dict(probs[i])
@@ -494,16 +528,15 @@ class EmotionEngine:
 
     def fuse_attention(self, s_feat, t_feat, i_feat, s_p, t_p, i_p
                        ) -> Dict[str, Any]:
-        probs, aw, dw = self._fusion_jit(
+        packed = np.asarray(self._fusion_jit(
             self.fusion['variables'],
             np.asarray(s_feat, np.float32)[None],
             np.asarray(t_feat, np.float32)[None],
             np.asarray(i_feat, np.float32)[None],
             np.asarray(s_p, np.float32)[None],
             np.asarray(t_p, np.float32)[None],
-            np.asarray(i_p, np.float32)[None])
-        return self._fusion_result(np.asarray(probs)[0], np.asarray(aw)[0],
-                                   np.asarray(dw)[0])
+            np.asarray(i_p, np.float32)[None]))[0]
+        return self._fusion_result(packed[:7], packed[7:10], packed[10:13])
 
     @staticmethod
     def _fusion_result(probs, aw, dw) -> Dict[str, Any]:
@@ -559,19 +592,18 @@ class EmotionEngine:
             [text], Config.MAX_TEXT_LENGTH)
         img = load_image_uint8(image_path)[None]
         b = _bucket_for(1)
-        s_p, t_p, i_p, f_p, aw, dw = self._trimodal_jit(
+        packed = np.asarray(self._trimodal_jit(
             self.speech['variables'], self.speech['scaler'],
             self.bert['variables'], self.image['variables'],
             self.fusion['variables'],
-            _pad_rows(waves, b), _pad_rows(ids, b), _pad_rows(mask, b),
-            _pad_rows(img, b))
+            _pad_rows(self._wire_waves(waves), b), _pad_rows(ids, b),
+            _pad_rows(mask, b), _pad_rows(img, b)))[0]
         return {
-            'speech': result_dict(np.asarray(s_p)[0]),
-            'text': result_dict(np.asarray(t_p)[0]),
-            'image': result_dict(np.asarray(i_p)[0]),
-            'fusion': self._fusion_result(np.asarray(f_p)[0],
-                                          np.asarray(aw)[0],
-                                          np.asarray(dw)[0]),
+            'speech': result_dict(packed[:7]),
+            'text': result_dict(packed[7:14]),
+            'image': result_dict(packed[14:21]),
+            'fusion': self._fusion_result(packed[21:28], packed[28:31],
+                                          packed[31:34]),
         }
 
     def predict_multimodal_batch(self, requests: Sequence[Dict]
@@ -594,20 +626,20 @@ class EmotionEngine:
             imgs = np.stack([load_image_uint8(requests[i]['image_path'])
                              for i in full_idx])
             b = _bucket_for(len(full_idx))
-            s_p, t_p, i_p, f_p, aw, dw = self._trimodal_jit(
+            packed = np.asarray(self._trimodal_jit(
                 self.speech['variables'], self.speech['scaler'],
                 self.bert['variables'], self.image['variables'],
                 self.fusion['variables'],
-                _pad_rows(waves, b), _pad_rows(ids, b), _pad_rows(mask, b),
-                _pad_rows(imgs, b))
+                _pad_rows(self._wire_waves(waves), b), _pad_rows(ids, b),
+                _pad_rows(mask, b), _pad_rows(imgs, b)))
             for j, i in enumerate(full_idx):
+                row = packed[j]
                 out[i] = {
-                    'speech': result_dict(np.asarray(s_p)[j]),
-                    'text': result_dict(np.asarray(t_p)[j]),
-                    'image': result_dict(np.asarray(i_p)[j]),
-                    'fusion': self._fusion_result(np.asarray(f_p)[j],
-                                                  np.asarray(aw)[j],
-                                                  np.asarray(dw)[j]),
+                    'speech': result_dict(row[:7]),
+                    'text': result_dict(row[7:14]),
+                    'image': result_dict(row[14:21]),
+                    'fusion': self._fusion_result(row[21:28], row[28:31],
+                                                  row[31:34]),
                 }
         for i, r in enumerate(requests):
             if out[i] is None:

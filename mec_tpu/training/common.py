@@ -1,0 +1,243 @@
+"""Shared training machinery: train state, fit loop, callbacks.
+
+Host-side control (early stopping, LR plateau reduction, best-checkpoint
+selection) mirrors the Keras callbacks the reference relies on
+(reference model_training/train_speech_model.py:218-238); device-side work
+is one jitted train step whose batch is sharded along the mesh 'data'
+axis, so multi-chip data parallelism is placement, not new code.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from mec_tpu.parallel.mesh import batch_sharding, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal mutable-by-replacement train state (params + BN stats)."""
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params,
+            batch_stats=(new_batch_stats if new_batch_stats is not None
+                         else self.batch_stats),
+            opt_state=new_opt)
+
+    @classmethod
+    def create(cls, variables: Dict[str, Any],
+               tx: optax.GradientTransformation) -> 'TrainState':
+        params = variables['params']
+        batch_stats = variables.get('batch_stats', FrozenDict({}))
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=tx.init(params), tx=tx)
+
+    @property
+    def variables(self) -> Dict[str, Any]:
+        v = {'params': self.params}
+        bs = self.batch_stats
+        has = (len(bs) > 0) if hasattr(bs, '__len__') else bs is not None
+        if has:
+            v['batch_stats'] = bs
+        return v
+
+
+def adam_with_clip(lr: float, clipnorm: float = 1.0
+                   ) -> optax.GradientTransformation:
+    """Adam + global-norm clip, LR exposed for plateau reduction
+    (reference Keras `Adam(1e-3, clipnorm=1.0)`, train_speech_model.py:97)."""
+    return optax.chain(
+        optax.clip_by_global_norm(clipnorm),
+        optax.inject_hyperparams(optax.adam)(learning_rate=lr))
+
+
+def adamw_with_clip(lr, weight_decay: float = 0.01, clipnorm: float = 1.0,
+                    ) -> optax.GradientTransformation:
+    """AdamW + clip; `lr` may be a float or an optax schedule."""
+    return optax.chain(
+        optax.clip_by_global_norm(clipnorm),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr, weight_decay=weight_decay))
+
+
+def get_lr(state: TrainState) -> float:
+    """Current injected learning rate (for logging / plateau logic)."""
+    for sub in state.opt_state:
+        if hasattr(sub, 'hyperparams') and 'learning_rate' in sub.hyperparams:
+            return float(sub.hyperparams['learning_rate'])
+    return float('nan')
+
+
+def set_lr(state: TrainState, lr: float) -> TrainState:
+    new_opt = []
+    for sub in state.opt_state:
+        if hasattr(sub, 'hyperparams') and 'learning_rate' in sub.hyperparams:
+            hp = dict(sub.hyperparams)
+            hp['learning_rate'] = jnp.asarray(lr, jnp.float32)
+            sub = sub._replace(hyperparams=hp)
+        new_opt.append(sub)
+    return state.replace(opt_state=tuple(new_opt))
+
+
+def softmax_cross_entropy(logits: jnp.ndarray, onehot: jnp.ndarray
+                          ) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -(onehot * logp).sum(axis=-1).mean()
+
+
+def iterate_batches(data: Dict[str, np.ndarray], batch_size: int,
+                    rng: np.random.RandomState, shuffle: bool = True,
+                    drop_remainder: bool = False
+                    ) -> Iterator[Dict[str, np.ndarray]]:
+    n = len(next(iter(data.values())))
+    idx = np.arange(n)
+    if shuffle:
+        rng.shuffle(idx)
+    stop = n - (n % batch_size) if drop_remainder else n
+    for s in range(0, stop, batch_size):
+        sel = idx[s:s + batch_size]
+        yield {k: v[sel] for k, v in data.items()}
+
+
+def pad_batch(batch: Dict[str, np.ndarray], batch_size: int
+              ) -> Tuple[Dict[str, np.ndarray], int]:
+    """Pad a ragged tail batch up to `batch_size` (static shapes: one
+    compile per batch size, XLA requirement)."""
+    n = len(next(iter(batch.values())))
+    if n == batch_size:
+        return batch, n
+    pad = batch_size - n
+    return ({k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+             for k, v in batch.items()}, n)
+
+
+class FitResult(struct.PyTreeNode):
+    pass
+
+
+def fit(state: TrainState,
+        train_data: Dict[str, np.ndarray],
+        val_data: Dict[str, np.ndarray],
+        train_step: Callable,
+        eval_step: Callable,
+        *,
+        epochs: int,
+        batch_size: int,
+        seed: int = 0,
+        monitor: str = 'val_acc',
+        patience: Optional[int] = None,
+        min_delta: float = 0.0,
+        reduce_lr_factor: Optional[float] = None,
+        reduce_lr_patience: int = 10,
+        min_lr: float = 1e-6,
+        mesh=None,
+        log_fn: Callable[[str], None] = print,
+        on_epoch_end: Optional[Callable] = None,
+        ) -> Tuple[TrainState, Any, Dict[str, list]]:
+    """Generic epoch loop with early stopping + LR-on-plateau.
+
+    train_step(state, batch, dropout_rng) -> (state, loss)
+    eval_step(variables, batch) -> logits (or probs)
+
+    Returns (final_state, best_variables, history).
+    """
+    np_rng = np.random.RandomState(seed)
+    dropout_key = jax.random.PRNGKey(seed)
+    history: Dict[str, list] = {'loss': [], 'val_loss': [], 'val_acc': [],
+                                'lr': []}
+    best_metric = -np.inf
+    best_vars = jax.tree.map(np.asarray, state.variables)
+    best_epoch = -1
+    plateau_wait = 0
+    stop_wait = 0
+
+    batch_shard = batch_sharding(mesh) if mesh is not None else None
+    repl = replicated(mesh) if mesh is not None else None
+    if mesh is not None:
+        state = jax.device_put(state, repl)
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        losses = []
+        for batch in iterate_batches(train_data, batch_size, np_rng):
+            batch, _n = pad_batch(batch, batch_size)
+            if batch_shard is not None:
+                batch = jax.device_put(batch, batch_shard)
+            dropout_key, sub = jax.random.split(dropout_key)
+            state, loss = train_step(state, batch, sub)
+            losses.append(loss)
+        train_loss = float(np.mean([np.asarray(l) for l in losses])) \
+            if losses else 0.0
+
+        # validation
+        val_losses, val_hits, val_count = [], 0, 0
+        for batch in iterate_batches(val_data, batch_size, np_rng,
+                                     shuffle=False):
+            padded, n = pad_batch(batch, batch_size)
+            if batch_shard is not None:
+                padded = jax.device_put(padded, batch_shard)
+            logits = eval_step(state.variables, padded)
+            logits = np.asarray(logits)[:n]
+            labels = np.asarray(batch['label'][:n])
+            if labels.ndim > 1:
+                labels = labels.argmax(axis=-1)
+            logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+            val_losses.append(float(
+                -jnp.take_along_axis(logp, jnp.asarray(labels)[:, None],
+                                     axis=-1).sum()))
+            val_hits += int((logits.argmax(axis=-1) == labels).sum())
+            val_count += n
+        val_loss = (sum(val_losses) / max(val_count, 1))
+        val_acc = val_hits / max(val_count, 1)
+
+        lr_now = get_lr(state)
+        history['loss'].append(train_loss)
+        history['val_loss'].append(val_loss)
+        history['val_acc'].append(val_acc)
+        history['lr'].append(lr_now)
+        log_fn(f'Epoch {epoch + 1}/{epochs} - {time.time() - t0:.1f}s - '
+               f'loss: {train_loss:.4f} - val_loss: {val_loss:.4f} - '
+               f'val_acc: {val_acc:.4f} - lr: {lr_now:.2e}')
+
+        metric = val_acc if monitor == 'val_acc' else -val_loss
+        if metric > best_metric + min_delta:
+            best_metric = metric
+            best_vars = jax.tree.map(np.asarray, state.variables)
+            best_epoch = epoch
+            plateau_wait = 0
+            stop_wait = 0
+        else:
+            plateau_wait += 1
+            stop_wait += 1
+            if (reduce_lr_factor is not None
+                    and plateau_wait >= reduce_lr_patience):
+                new_lr = max(lr_now * reduce_lr_factor, min_lr)
+                if new_lr < lr_now:
+                    log_fn(f'ReduceLROnPlateau: lr {lr_now:.2e} '
+                           f'-> {new_lr:.2e}')
+                    state = set_lr(state, new_lr)
+                plateau_wait = 0
+            if patience is not None and stop_wait >= patience:
+                log_fn(f'Early stopping at epoch {epoch + 1} '
+                       f'(best epoch {best_epoch + 1})')
+                break
+
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, state, history)
+
+    return state, best_vars, history

@@ -1,0 +1,191 @@
+"""BERT fine-tuning trainer.
+
+Parity with reference model_training/train_text_model.py: bert-base init,
+AdamW 2e-5 weight-decay 0.01 with 10% linear warmup (:194-200), grad clip
+1.0 (:91), batch 16, 5 epochs, 85/15 stratified split, best-val-accuracy
+checkpoint saved in servable form (:217-223).
+
+TPU-first: one jitted train step over static (B, 128) shapes; the encoder
+can be tensor-parallel over the mesh 'model' axis via
+mec_tpu.parallel.partition (Megatron column/row splits; GSPMD inserts the
+ICI collectives).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mec_tpu.config import Config
+from mec_tpu.convert import store
+from mec_tpu.models.bert import BertForSequenceClassification
+from mec_tpu.parallel.mesh import make_mesh
+from mec_tpu.parallel.partition import shard_variables
+from mec_tpu.text.wordpiece import WordPieceTokenizer
+from mec_tpu.training import common, data, metrics
+
+
+def make_steps(model: BertForSequenceClassification):
+    @jax.jit
+    def train_step(state: common.TrainState, batch, dropout_rng):
+        def loss_fn(params):
+            logits, _cls = model.apply(
+                {'params': params}, batch['ids'], batch['mask'],
+                train=True, rngs={'dropout': dropout_rng})
+            onehot = jax.nn.one_hot(batch['label'], logits.shape[-1])
+            return common.softmax_cross_entropy(logits, onehot)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    @jax.jit
+    def eval_step(variables, batch):
+        logits, _cls = model.apply({'params': variables['params']},
+                                   batch['ids'], batch['mask'])
+        return logits
+
+    return train_step, eval_step
+
+
+def tokenize_corpus(tokenizer: WordPieceTokenizer, texts,
+                    max_length: int = 128):
+    ids, mask = tokenizer.encode_batch(list(texts), max_length=max_length)
+    return np.asarray(ids, np.int32), np.asarray(mask, np.int32)
+
+
+def init_from_pretrained(model, bert_dir: str, seed: int):
+    """Start from a converted pretrained BERT when available, else random
+    init (the reference requires downloading bert-base-uncased; random init
+    keeps the trainer runnable hermetically)."""
+    rng = jax.random.PRNGKey(seed)
+    dummy = jnp.zeros((1, 8), jnp.int32)
+    variables = model.init(rng, dummy, dummy)
+    if bert_dir and os.path.isdir(bert_dir):
+        try:
+            from mec_tpu.convert.hf_bert import convert_bert_dir
+            pre = convert_bert_dir(bert_dir)['params']
+            params = dict(variables['params'])
+            for k in params:
+                if k in pre and k not in ('classifier',):
+                    params[k] = pre[k]
+            variables = {'params': params}
+            print(f'Initialized encoder from {bert_dir}')
+        except Exception as e:
+            print(f'Pretrained init unavailable ({e}); using random init')
+    return variables
+
+
+def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
+          learning_rate: float = 2e-5, max_length: int = 128,
+          models_dir: Optional[str] = None, pretrained_dir: str = '',
+          mesh_data: int = 0, mesh_model: int = 0, seed: int = 42,
+          model_kwargs: Optional[dict] = None,
+          tokenizer: Optional[WordPieceTokenizer] = None,
+          texts=None, labels=None, verbose: bool = True):
+    log = print if verbose else (lambda *_a, **_k: None)
+    if texts is None:
+        texts, labels = data.load_text_dataset(csv_path, fold_labels=False,
+                                               verbose=verbose)
+    if len(texts) == 0:
+        raise SystemExit('No training data found')
+
+    if tokenizer is None:
+        vocab_src = pretrained_dir or Config.BERT_MODEL_PATH
+        tokenizer = WordPieceTokenizer.from_pretrained_dir(vocab_src)
+        if tokenizer is None:
+            raise SystemExit(f'No vocab.txt under {vocab_src}; pass '
+                             '--pretrained-dir with a BERT vocab')
+
+    tr, va = metrics.train_test_split_stratified(len(texts), labels,
+                                                 0.15, seed=42)
+    ids, mask = tokenize_corpus(tokenizer, texts, max_length)
+    train_data = {'ids': ids[tr], 'mask': mask[tr],
+                  'label': np.asarray(labels)[tr]}
+    val_data = {'ids': ids[va], 'mask': mask[va],
+                'label': np.asarray(labels)[va]}
+    log(f'Training set: {len(tr)}  validation set: {len(va)}')
+
+    model = BertForSequenceClassification(**(model_kwargs or {}))
+    variables = init_from_pretrained(model, pretrained_dir, seed)
+
+    steps_per_epoch = max(1, len(tr) // batch_size)
+    total_steps = steps_per_epoch * epochs
+    # 10% linear warmup then linear decay to 0 (HF get_linear_schedule_with_warmup)
+    warmup_steps = max(1, total_steps // 10)
+    warmup = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    decay = optax.linear_schedule(learning_rate, 0.0,
+                                  max(1, total_steps - warmup_steps))
+    lr = optax.join_schedules([warmup, decay], [warmup_steps])
+    tx = common.adamw_with_clip(lr, weight_decay=0.01, clipnorm=1.0)
+    state = common.TrainState.create(variables, tx)
+
+    mesh = None
+    if mesh_data > 1 or mesh_model > 1:
+        mesh = make_mesh(data=max(1, mesh_data), model=max(1, mesh_model))
+        state = state.replace(
+            params=shard_variables(mesh, state.params)) \
+            if mesh_model > 1 else state
+
+    train_step, eval_step = make_steps(model)
+    state, best_vars, history = common.fit(
+        state, train_data, val_data, train_step, eval_step,
+        epochs=epochs, batch_size=batch_size, seed=seed,
+        monitor='val_acc', mesh=mesh, log_fn=log)
+
+    padded, n = common.pad_batch(val_data, len(va))
+    logits = np.asarray(eval_step(best_vars, padded))[:n]
+    preds = logits.argmax(axis=-1)
+    log('\n' + metrics.classification_report(val_data['label'], preds,
+                                             Config.EMOTIONS))
+
+    models_dir = models_dir or Config.BERT_MODEL_PATH
+    os.makedirs(models_dir, exist_ok=True)
+    store.save_params(os.path.join(models_dir, 'bert_model.mecp'),
+                      best_vars,
+                      meta={'val_acc': float(max(history['val_acc']))})
+    cfg = {'vocab_size': model.vocab_size, 'hidden_size': model.hidden_size,
+           'num_hidden_layers': model.num_layers,
+           'num_attention_heads': model.num_heads,
+           'intermediate_size': model.intermediate_size,
+           'max_position_embeddings': model.max_position,
+           'type_vocab_size': model.type_vocab_size,
+           'num_labels': model.num_classes}
+    with open(os.path.join(models_dir, 'config.json'), 'w') as f:
+        json.dump(cfg, f, indent=2)
+    vocab_out = os.path.join(models_dir, 'vocab.txt')
+    if not os.path.exists(vocab_out):
+        inv = sorted(tokenizer.vocab.items(), key=lambda kv: kv[1])
+        with open(vocab_out, 'w', encoding='utf-8') as f:
+            f.write('\n'.join(tok for tok, _ in inv))
+    log(f'Saved BERT artifacts to {models_dir}')
+    return best_vars, history
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description='Fine-tune BERT for emotion')
+    p.add_argument('--csv', required=True)
+    p.add_argument('--epochs', type=int, default=5)
+    p.add_argument('--batch-size', type=int, default=16)
+    p.add_argument('--learning-rate', type=float, default=2e-5)
+    p.add_argument('--max-length', type=int, default=128)
+    p.add_argument('--models-dir', default=None)
+    p.add_argument('--pretrained-dir', default='',
+                   help='HF-format BERT dir for encoder init + vocab')
+    p.add_argument('--mesh-data', type=int, default=0)
+    p.add_argument('--mesh-model', type=int, default=0,
+                   help='tensor-parallel axis size for the encoder')
+    args = p.parse_args(argv)
+    train(args.csv, args.epochs, args.batch_size, args.learning_rate,
+          args.max_length, args.models_dir, args.pretrained_dir,
+          args.mesh_data, args.mesh_model)
+
+
+if __name__ == '__main__':
+    main()
