@@ -1,0 +1,356 @@
+"""sqlite3 data layer.
+
+Schema parity with the reference ORM (reference database/db_operations.py:
+User :8-23, Prediction :26-43, EmotionStatistic :66-72, ModelMetric :75-84
+— the reference never reads/writes ModelMetric; here the table exists AND
+the trainers record their validation metrics into it via
+record_model_metric, closing that dead end).
+
+Concurrency: one connection per thread (sqlite3 objects are not
+thread-safe), WAL journal so readers never block the writer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import os
+import secrets
+import sqlite3
+import threading
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Any, Dict, List, Optional
+
+from mec_tpu.config import Config
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS users (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    username TEXT UNIQUE NOT NULL,
+    email TEXT UNIQUE NOT NULL,
+    password_hash TEXT NOT NULL,
+    created_at TEXT NOT NULL
+);
+CREATE TABLE IF NOT EXISTS predictions (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    user_id INTEGER REFERENCES users(id) ON DELETE CASCADE,
+    prediction_date TEXT NOT NULL,
+    input_type TEXT CHECK(input_type IN
+        ('speech', 'text', 'image', 'multimodal')),
+    predicted_emotion TEXT,
+    confidence_score REAL,
+    speech_emotion TEXT,
+    text_emotion TEXT,
+    image_emotion TEXT,
+    speech_confidence REAL,
+    text_confidence REAL,
+    image_confidence REAL,
+    file_path TEXT
+);
+CREATE INDEX IF NOT EXISTS idx_predictions_user
+    ON predictions(user_id, prediction_date);
+CREATE TABLE IF NOT EXISTS emotion_statistics (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    emotion TEXT UNIQUE NOT NULL,
+    count INTEGER DEFAULT 0,
+    last_updated TEXT NOT NULL
+);
+CREATE TABLE IF NOT EXISTS model_metrics (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    model_name TEXT,
+    accuracy REAL,
+    precision_score REAL,
+    recall_score REAL,
+    f1_score REAL,
+    training_date TEXT NOT NULL
+);
+"""
+
+
+# ----------------------------------------------------------------------
+# password hashing (scrypt; bcrypt is not in this image)
+# ----------------------------------------------------------------------
+
+def hash_password(password: str) -> str:
+    salt = secrets.token_bytes(16)
+    dk = hashlib.scrypt(password.encode('utf-8'), salt=salt,
+                        n=2 ** 14, r=8, p=1, dklen=32)
+    return f'scrypt$16384$8$1${salt.hex()}${dk.hex()}'
+
+
+def check_password(password: str, stored: str) -> bool:
+    try:
+        scheme, n, r, p, salt_hex, hash_hex = stored.split('$')
+        if scheme != 'scrypt':
+            return False
+        dk = hashlib.scrypt(password.encode('utf-8'),
+                            salt=bytes.fromhex(salt_hex),
+                            n=int(n), r=int(r), p=int(p), dklen=32)
+        return hmac.compare_digest(dk.hex(), hash_hex)
+    except (ValueError, TypeError):
+        return False
+
+
+# ----------------------------------------------------------------------
+# record types (plain dataclasses, not ORM entities)
+# ----------------------------------------------------------------------
+
+@dataclass
+class User:
+    id: int
+    username: str
+    email: str
+    password_hash: str
+    created_at: str
+
+    def check_password(self, password: str) -> bool:
+        return check_password(password, self.password_hash)
+
+
+@dataclass
+class Prediction:
+    id: int
+    user_id: Optional[int]
+    prediction_date: str
+    input_type: Optional[str]
+    predicted_emotion: Optional[str]
+    confidence_score: Optional[float]
+    speech_emotion: Optional[str] = None
+    text_emotion: Optional[str] = None
+    image_emotion: Optional[str] = None
+    speech_confidence: Optional[float] = None
+    text_confidence: Optional[float] = None
+    image_confidence: Optional[float] = None
+    file_path: Optional[str] = None
+
+
+@dataclass
+class EmotionStatistic:
+    id: int
+    emotion: str
+    count: int
+    last_updated: str
+
+
+@dataclass
+class ModelMetric:
+    id: int
+    model_name: str
+    accuracy: Optional[float]
+    precision_score: Optional[float]
+    recall_score: Optional[float]
+    f1_score: Optional[float]
+    training_date: str
+
+
+def _now() -> str:
+    from datetime import timezone
+    return datetime.now(timezone.utc).replace(tzinfo=None).isoformat(
+        sep=' ', timespec='seconds')
+
+
+class Database:
+    """Thread-local sqlite3 connections over one database file."""
+
+    def __init__(self, path: Optional[str] = None):
+        if path is None:
+            url = os.environ.get('DATABASE_URL', '')
+            if url.startswith('sqlite:///'):
+                path = url[len('sqlite:///'):]
+        self.path = path or Config.DATABASE_PATH
+        self._local = threading.local()
+        self._init_lock = threading.Lock()
+        self.init_schema()
+
+    def _conn(self) -> sqlite3.Connection:
+        conn = getattr(self._local, 'conn', None)
+        if conn is None:
+            if self.path != ':memory:':
+                os.makedirs(os.path.dirname(os.path.abspath(self.path)),
+                            exist_ok=True)
+            conn = sqlite3.connect(self.path, timeout=30.0)
+            conn.row_factory = sqlite3.Row
+            conn.execute('PRAGMA journal_mode=WAL')
+            conn.execute('PRAGMA foreign_keys=ON')
+            self._local.conn = conn
+        return conn
+
+    def init_schema(self) -> None:
+        with self._init_lock:
+            self._conn().executescript(_SCHEMA)
+            self._conn().commit()
+
+    def close(self) -> None:
+        conn = getattr(self._local, 'conn', None)
+        if conn is not None:
+            conn.close()
+            self._local.conn = None
+
+    # ------------------------------------------------------------------
+    # users
+    # ------------------------------------------------------------------
+    def create_user(self, username: str, email: str, password: str) -> User:
+        conn = self._conn()
+        cur = conn.execute(
+            'INSERT INTO users (username, email, password_hash, created_at)'
+            ' VALUES (?, ?, ?, ?)',
+            (username, email, hash_password(password), _now()))
+        conn.commit()
+        return self.get_user(cur.lastrowid)
+
+    def get_user(self, user_id: int) -> Optional[User]:
+        row = self._conn().execute('SELECT * FROM users WHERE id = ?',
+                                   (user_id,)).fetchone()
+        return User(**dict(row)) if row else None
+
+    def find_user(self, username: Optional[str] = None,
+                  email: Optional[str] = None) -> Optional[User]:
+        row = self._conn().execute(
+            'SELECT * FROM users WHERE username = ? OR email = ? LIMIT 1',
+            (username, email if email is not None else username)).fetchone()
+        return User(**dict(row)) if row else None
+
+    # ------------------------------------------------------------------
+    # predictions
+    # ------------------------------------------------------------------
+    _PRED_COLS = ('user_id', 'input_type', 'predicted_emotion',
+                  'confidence_score', 'speech_emotion', 'text_emotion',
+                  'image_emotion', 'speech_confidence', 'text_confidence',
+                  'image_confidence', 'file_path')
+
+    def save_prediction(self, user_id: Optional[int], **kwargs) -> Prediction:
+        vals: Dict[str, Any] = {'user_id': user_id}
+        vals.update({k: v for k, v in kwargs.items()
+                     if k in self._PRED_COLS})
+        cols = list(vals) + ['prediction_date']
+        conn = self._conn()
+        cur = conn.execute(
+            f'INSERT INTO predictions ({", ".join(cols)}) '
+            f'VALUES ({", ".join("?" * len(cols))})',
+            tuple(vals.values()) + (_now(),))
+        conn.commit()
+        row = conn.execute('SELECT * FROM predictions WHERE id = ?',
+                           (cur.lastrowid,)).fetchone()
+        return Prediction(**dict(row))
+
+    def get_user_predictions(self, user_id: int,
+                             emotion: Optional[str] = None,
+                             modality: Optional[str] = None,
+                             start: Optional[str] = None,
+                             end: Optional[str] = None,
+                             limit: Optional[int] = None
+                             ) -> List[Prediction]:
+        """Newest first, with the reference's optional history filters
+        (reference app.py:365-396)."""
+        q = 'SELECT * FROM predictions WHERE user_id = ?'
+        args: List[Any] = [user_id]
+        if emotion:
+            q += ' AND predicted_emotion = ?'
+            args.append(emotion)
+        if modality:
+            q += ' AND input_type = ?'
+            args.append(modality)
+        if start:
+            q += ' AND prediction_date >= ?'
+            args.append(start)
+        if end:
+            q += ' AND prediction_date <= ?'
+            args.append(end)
+        q += ' ORDER BY prediction_date DESC, id DESC'
+        if limit:
+            q += f' LIMIT {int(limit)}'
+        rows = self._conn().execute(q, args).fetchall()
+        return [Prediction(**dict(r)) for r in rows]
+
+    def count_user_predictions(self, user_id: int) -> int:
+        return self._conn().execute(
+            'SELECT COUNT(*) FROM predictions WHERE user_id = ?',
+            (user_id,)).fetchone()[0]
+
+    def emotion_distribution(self, user_id: int) -> Dict[str, int]:
+        dist = {e: 0 for e in Config.EMOTIONS}
+        rows = self._conn().execute(
+            'SELECT predicted_emotion, COUNT(*) c FROM predictions '
+            'WHERE user_id = ? GROUP BY predicted_emotion',
+            (user_id,)).fetchall()
+        for r in rows:
+            if r[0] in dist:
+                dist[r[0]] = r[1]
+        return dist
+
+    def get_prediction(self, pid: int) -> Optional[Prediction]:
+        row = self._conn().execute('SELECT * FROM predictions WHERE id = ?',
+                                   (pid,)).fetchone()
+        return Prediction(**dict(row)) if row else None
+
+    def delete_prediction(self, pid: int) -> None:
+        conn = self._conn()
+        conn.execute('DELETE FROM predictions WHERE id = ?', (pid,))
+        conn.commit()
+
+    # ------------------------------------------------------------------
+    # statistics
+    # ------------------------------------------------------------------
+    def increment_emotion_stat(self, emotion: str) -> None:
+        """Atomic UPSERT (the reference does read-then-write,
+        reference db_operations.py:87-97; sqlite upsert avoids the race)."""
+        if not emotion:
+            return
+        conn = self._conn()
+        conn.execute(
+            'INSERT INTO emotion_statistics (emotion, count, last_updated) '
+            'VALUES (?, 1, ?) ON CONFLICT(emotion) DO UPDATE SET '
+            'count = count + 1, last_updated = excluded.last_updated',
+            (emotion, _now()))
+        conn.commit()
+
+    def get_emotion_statistics(self) -> List[EmotionStatistic]:
+        rows = self._conn().execute(
+            'SELECT * FROM emotion_statistics ORDER BY id').fetchall()
+        return [EmotionStatistic(**dict(r)) for r in rows]
+
+    # ------------------------------------------------------------------
+    # model metrics (written by the trainers)
+    # ------------------------------------------------------------------
+    def record_model_metric(self, model_name: str,
+                            accuracy: Optional[float] = None,
+                            precision_score: Optional[float] = None,
+                            recall_score: Optional[float] = None,
+                            f1_score: Optional[float] = None) -> None:
+        conn = self._conn()
+        conn.execute(
+            'INSERT INTO model_metrics (model_name, accuracy, '
+            'precision_score, recall_score, f1_score, training_date) '
+            'VALUES (?, ?, ?, ?, ?, ?)',
+            (model_name, accuracy, precision_score, recall_score,
+             f1_score, _now()))
+        conn.commit()
+
+    def get_model_metrics(self, model_name: Optional[str] = None
+                          ) -> List[ModelMetric]:
+        if model_name:
+            rows = self._conn().execute(
+                'SELECT * FROM model_metrics WHERE model_name = ? '
+                'ORDER BY id DESC', (model_name,)).fetchall()
+        else:
+            rows = self._conn().execute(
+                'SELECT * FROM model_metrics ORDER BY id DESC').fetchall()
+        return [ModelMetric(**dict(r)) for r in rows]
+
+
+_db: Optional[Database] = None
+_db_lock = threading.Lock()
+
+
+def get_db(path: Optional[str] = None, reload: bool = False) -> Database:
+    global _db
+    with _db_lock:
+        if _db is None or reload:
+            _db = Database(path)
+        return _db
+
+
+def init_db(path: Optional[str] = None) -> Database:
+    """Create tables (reference db_config.py init_db)."""
+    return get_db(path, reload=path is not None)

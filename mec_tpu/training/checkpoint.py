@@ -28,11 +28,15 @@ _MAGIC = b'MECT\x01'
 def save_train_state(path: str, state, extra: Optional[Dict[str, Any]] = None
                      ) -> None:
     """Write {step, params, batch_stats, opt_state, extra} to `path`."""
+    # to_state_dict flattens optax namedtuple states into plain dicts
     payload = {
         'step': np.asarray(state.step),
-        'params': jax.tree.map(np.asarray, state.params),
-        'batch_stats': jax.tree.map(np.asarray, state.batch_stats),
-        'opt_state': jax.tree.map(np.asarray, state.opt_state),
+        'params': serialization.to_state_dict(
+            jax.tree.map(np.asarray, state.params)),
+        'batch_stats': serialization.to_state_dict(
+            jax.tree.map(np.asarray, state.batch_stats)),
+        'opt_state': serialization.to_state_dict(
+            jax.tree.map(np.asarray, state.opt_state)),
         'extra': extra or {},
     }
     if _HAS_ORBAX and os.path.splitext(path)[1] == '':

@@ -1,0 +1,586 @@
+"""The WSGI application.
+
+Route-for-route parity with the reference Flask app (reference
+app.py:124-626; catalog in SURVEY.md §3): HTML — /, /register, /login,
+/logout, /dashboard, /predict/{speech,text,image,multimodal}, /history,
+/history/export.csv, /statistics; JSON — /api/{register,login,logout},
+/api/user/profile, /api/predict/{speech,text,image,multimodal},
+/api/predictions (GET/DELETE), /api/statistics; 413 handler.
+
+Architectural inversion (TPU-first): every predict route goes through the
+process-wide EmotionEngine (params on device once, batched compiled
+graphs) instead of constructing SpeechInference()/MultimodalFusion() per
+request like reference app.py:225,256,290,336,502,519,540,568.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import os
+import secrets
+from functools import wraps
+from typing import Any, Callable, Dict, Optional
+
+from jinja2 import Environment, FileSystemLoader, select_autoescape
+from werkzeug.exceptions import HTTPException, NotFound, RequestEntityTooLarge
+from werkzeug.routing import Map, Rule
+from werkzeug.utils import secure_filename
+from werkzeug.wrappers import Request, Response
+
+from mec_tpu.config import Config
+from mec_tpu.database import get_db
+from mec_tpu.utils.logging_config import setup_logging
+from mec_tpu.utils.profiling import timer
+from mec_tpu.utils.security import (is_safe_redirect_url, sanitize_text,
+                                    validate_email, validate_password,
+                                    validate_username)
+from mec_tpu.webapp import ratelimit
+from mec_tpu.webapp.sessions import (COOKIE_NAME, Session, dump_session,
+                                     load_session)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+URL_MAP = Map([
+    Rule('/', endpoint='index'),
+    Rule('/register', endpoint='register', methods=['GET', 'POST']),
+    Rule('/login', endpoint='login', methods=['GET', 'POST']),
+    Rule('/logout', endpoint='logout'),
+    Rule('/dashboard', endpoint='dashboard'),
+    Rule('/predict/speech', endpoint='predict_speech',
+         methods=['GET', 'POST']),
+    Rule('/predict/text', endpoint='predict_text', methods=['GET', 'POST']),
+    Rule('/predict/image', endpoint='predict_image',
+         methods=['GET', 'POST']),
+    Rule('/predict/multimodal', endpoint='predict_multimodal',
+         methods=['GET', 'POST']),
+    Rule('/history', endpoint='history'),
+    Rule('/history/export.csv', endpoint='export_history_csv'),
+    Rule('/statistics', endpoint='statistics_page'),
+    Rule('/static/<path:filename>', endpoint='static_file'),
+    Rule('/api/register', endpoint='api_register', methods=['POST']),
+    Rule('/api/login', endpoint='api_login', methods=['POST']),
+    Rule('/api/logout', endpoint='api_logout', methods=['POST']),
+    Rule('/api/user/profile', endpoint='api_user_profile'),
+    Rule('/api/predict/speech', endpoint='api_predict_speech',
+         methods=['POST']),
+    Rule('/api/predict/text', endpoint='api_predict_text',
+         methods=['POST']),
+    Rule('/api/predict/image', endpoint='api_predict_image',
+         methods=['POST']),
+    Rule('/api/predict/multimodal', endpoint='api_predict_multimodal',
+         methods=['POST']),
+    Rule('/api/predictions', endpoint='api_predictions'),
+    Rule('/api/predictions/<int:pid>', endpoint='api_delete_prediction',
+         methods=['DELETE']),
+    Rule('/api/statistics', endpoint='api_statistics'),
+    Rule('/api/metrics', endpoint='api_metrics'),
+])
+
+
+def jsonify(data: Any, status: int = 200) -> Response:
+    return Response(json.dumps(data), status=status,
+                    mimetype='application/json')
+
+
+def login_required(fn: Callable) -> Callable:
+    @wraps(fn)
+    def wrapper(self, request, session, **kw):
+        if 'user_id' not in session:
+            session.flash('Please log in to continue.', 'warning')
+            return self.redirect('/login', session)
+        return fn(self, request, session, **kw)
+    return wrapper
+
+
+def api_login_required(fn: Callable) -> Callable:
+    @wraps(fn)
+    def wrapper(self, request, session, **kw):
+        if 'user_id' not in session:
+            return jsonify({'error': 'unauthorized'}, 401)
+        return fn(self, request, session, **kw)
+    return wrapper
+
+
+def clean_result(result: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop engine-internal keys (leading underscore) before responding —
+    the public contract is {emotion, confidence, all_probabilities}
+    (reference speech_inference.py:71-77)."""
+    for k in [k for k in result if k.startswith('_')]:
+        result.pop(k)
+    return result
+
+
+def allowed_file(filename: str, kind: str) -> bool:
+    """Extension allowlist (reference app.py:100-108)."""
+    if not filename or '.' not in filename:
+        return False
+    ext = filename.rsplit('.', 1)[1].lower()
+    if kind == 'audio':
+        return ext in Config.ALLOWED_AUDIO_EXTENSIONS
+    if kind == 'image':
+        return ext in Config.ALLOWED_IMAGE_EXTENSIONS
+    return False
+
+
+class EmotionApp:
+    """WSGI app; one instance per process, shared across worker threads."""
+
+    def __init__(self, db=None, engine=None, testing: bool = False,
+                 models_dir: Optional[str] = None):
+        self.testing = testing
+        self.db = db if db is not None else get_db()
+        self._engine = engine
+        self._models_dir = models_dir
+        self.limiter = ratelimit.RateLimiter(enabled=not testing)
+        self.log = setup_logging()
+        self.jinja = Environment(
+            loader=FileSystemLoader(os.path.join(_HERE, 'templates')),
+            autoescape=select_autoescape(['html']))
+        self.jinja.globals['config'] = Config
+        os.makedirs(Config.UPLOAD_FOLDER, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    @property
+    def engine(self):
+        if self._engine is None:
+            from mec_tpu.serving.engine import get_engine
+            self._engine = get_engine(models_dir=self._models_dir)
+        return self._engine
+
+    # ------------------------------------------------------------------
+    # plumbing
+    # ------------------------------------------------------------------
+    def render(self, session: Session, template: str, status: int = 200,
+               **ctx) -> Response:
+        ctx.setdefault('session', dict(session))
+        ctx['flashes'] = session.pop_flashes()
+        ctx['csrf_token'] = self._csrf_token(session)
+        html = self.jinja.get_template(template).render(**ctx)
+        return Response(html, status=status, mimetype='text/html')
+
+    @staticmethod
+    def redirect(location: str, session: Session) -> Response:
+        return Response('', status=302, headers={'Location': location})
+
+    def _csrf_token(self, session: Session) -> str:
+        if '_csrf' not in session:
+            session['_csrf'] = secrets.token_hex(16)
+        return session['_csrf']
+
+    def _check_csrf(self, request: Request, session: Session) -> bool:
+        """HTML-form POSTs carry the session CSRF token
+        (reference uses Flask-WTF CSRFProtect, app.py:56-61)."""
+        if self.testing or not Config.WTF_CSRF_ENABLED:
+            return True
+        return request.form.get('csrf_token') == session.get('_csrf')
+
+    def _save_upload(self, fileobj, kind: str) -> Optional[str]:
+        if not (fileobj and fileobj.filename
+                and allowed_file(fileobj.filename, kind)):
+            return None
+        fname = secure_filename(fileobj.filename)
+        path = os.path.join(Config.UPLOAD_FOLDER, fname)
+        fileobj.save(path)
+        return path
+
+    def _record(self, session: Session, input_type: str,
+                result: Dict[str, Any], column: str,
+                file_path: Optional[str] = None) -> None:
+        if 'user_id' not in session:
+            return
+        self.db.save_prediction(
+            user_id=session['user_id'], input_type=input_type,
+            predicted_emotion=result['emotion'],
+            confidence_score=result['confidence'],
+            **{f'{column}_emotion': result['emotion'],
+               f'{column}_confidence': result['confidence']},
+            file_path=file_path)
+        self.db.increment_emotion_stat(result['emotion'])
+
+    # ------------------------------------------------------------------
+    # WSGI entry
+    # ------------------------------------------------------------------
+    def __call__(self, environ, start_response):
+        request = Request(environ)
+        session = load_session(request.cookies.get(COOKIE_NAME))
+        had_cookie = bool(request.cookies.get(COOKIE_NAME))
+        try:
+            if (request.content_length or 0) > Config.MAX_FILE_SIZE:
+                raise RequestEntityTooLarge()
+            adapter = URL_MAP.bind_to_environ(environ)
+            endpoint, args = adapter.match()
+            handler = getattr(self, endpoint)
+            with timer.span(endpoint):
+                response = handler(request, session, **args)
+        except NotFound:
+            response = self._error_response(request, session, 404,
+                                            'Page not found')
+        except RequestEntityTooLarge:
+            response = self._error_response(request, session, 413,
+                                            'File too large')
+        except HTTPException as e:
+            response = self._error_response(request, session,
+                                            e.code or 500, e.description)
+        except Exception:  # degrade-don't-fail; log and 500
+            self.log.exception('unhandled error')
+            response = self._error_response(request, session, 500,
+                                            'Internal server error')
+
+        if session.modified or (session and not had_cookie):
+            response.set_cookie(
+                COOKIE_NAME, dump_session(session),
+                httponly=Config.SESSION_COOKIE_HTTPONLY,
+                secure=Config.SESSION_COOKIE_SECURE,
+                samesite=Config.SESSION_COOKIE_SAMESITE,
+                max_age=int(
+                    Config.PERMANENT_SESSION_LIFETIME.total_seconds()))
+        for k, v in Config.SECURITY_HEADERS.items():
+            response.headers.setdefault(k, v)
+        return response(environ, start_response)
+
+    def _error_response(self, request: Request, session: Session,
+                        status: int, message: str) -> Response:
+        if request.path.startswith('/api/'):
+            return jsonify({'error': message}, status)
+        try:
+            return self.render(session, 'error.html', status=status,
+                               code=status, message=message)
+        except Exception:
+            return Response(message, status=status, mimetype='text/plain')
+
+    # ------------------------------------------------------------------
+    # HTML routes
+    # ------------------------------------------------------------------
+    def index(self, request, session):
+        return self.render(session, 'index.html')
+
+    def static_file(self, request, session, filename):
+        root = os.path.join(_HERE, 'static')
+        path = os.path.normpath(os.path.join(root, filename))
+        if not path.startswith(root) or not os.path.isfile(path):
+            raise NotFound()
+        mime = ('text/css' if path.endswith('.css')
+                else 'application/javascript' if path.endswith('.js')
+                else 'application/octet-stream')
+        with open(path, 'rb') as f:
+            return Response(f.read(), mimetype=mime)
+
+    def register(self, request, session):
+        if request.method == 'POST':
+            if not self.limiter.allow(f'register:{request.remote_addr}',
+                                      ratelimit.REGISTER_RULES):
+                return self._error_response(request, session, 429,
+                                            'Too many registrations')
+            if not self._check_csrf(request, session):
+                return self._error_response(request, session, 400,
+                                            'CSRF token missing')
+            username = sanitize_text(request.form.get('username') or '')
+            email = sanitize_text(request.form.get('email') or '')
+            password = request.form.get('password') or ''
+            for ok, msg in (validate_username(username),
+                            validate_email(email),
+                            validate_password(password)):
+                if not ok:
+                    session.flash(msg, 'danger')
+                    return self.render(session, 'register.html')
+            if self.db.find_user(username, email):
+                session.flash('Username or email already exists.', 'danger')
+                return self.render(session, 'register.html')
+            user = self.db.create_user(username, email, password)
+            session['user_id'] = user.id
+            session['username'] = user.username
+            session.flash('Registration successful. Welcome!', 'success')
+            return self.redirect('/dashboard', session)
+        return self.render(session, 'register.html')
+
+    def login(self, request, session):
+        if request.method == 'POST':
+            if not self.limiter.allow(f'login:{request.remote_addr}',
+                                      ratelimit.LOGIN_RULES):
+                return self._error_response(request, session, 429,
+                                            'Too many login attempts')
+            if not self._check_csrf(request, session):
+                return self._error_response(request, session, 400,
+                                            'CSRF token missing')
+            username = request.form.get('username') or ''
+            password = request.form.get('password') or ''
+            user = self.db.find_user(username)
+            if not user or not user.check_password(password):
+                session.flash('Invalid username or password.', 'danger')
+                return self.render(session, 'login.html')
+            session['user_id'] = user.id
+            session['username'] = user.username
+            session.flash(f'Welcome back, {user.username}!', 'success')
+            nxt = request.args.get('next', '')
+            if nxt and is_safe_redirect_url(nxt, request.host):
+                return self.redirect(nxt, session)
+            return self.redirect('/dashboard', session)
+        return self.render(session, 'login.html')
+
+    def logout(self, request, session):
+        session.clear()
+        session.flash('You have been logged out.', 'info')
+        return self.redirect('/', session)
+
+    @login_required
+    def dashboard(self, request, session):
+        uid = session['user_id']
+        recent = self.db.get_user_predictions(uid, limit=5)
+        total = self.db.count_user_predictions(uid)
+        dist = self.db.emotion_distribution(uid)
+        most_common = max(dist, key=dist.get) if total else None
+        return self.render(session, 'dashboard.html', recent=recent,
+                           total_count=total, most_common=most_common,
+                           chart_labels=list(dist.keys()),
+                           chart_values=list(dist.values()))
+
+    @login_required
+    def predict_speech(self, request, session):
+        if request.method == 'POST':
+            if not self._check_csrf(request, session):
+                return self._error_response(request, session, 400,
+                                            'CSRF token missing')
+            path = self._save_upload(request.files.get('audio_file'),
+                                     'audio')
+            if path:
+                result = clean_result(
+                    self.engine.predict_speech_paths([path])[0])
+                self._record(session, 'speech', result, 'speech', path)
+                return self.render(session, 'results.html',
+                                   modality='speech', result=result)
+            session.flash('Invalid audio file.', 'danger')
+        return self.render(session, 'speech_input.html')
+
+    @login_required
+    def predict_text(self, request, session):
+        if request.method == 'POST':
+            if not self._check_csrf(request, session):
+                return self._error_response(request, session, 400,
+                                            'CSRF token missing')
+            text = request.form.get('text_input')
+            if text:
+                result = clean_result(self.engine.predict_texts([text])[0])
+                self._record(session, 'text', result, 'text')
+                return self.render(session, 'results.html', modality='text',
+                                   result=result, text=text)
+            session.flash('Please enter some text.', 'warning')
+        return self.render(session, 'text_input.html')
+
+    @login_required
+    def predict_image(self, request, session):
+        if request.method == 'POST':
+            if not self._check_csrf(request, session):
+                return self._error_response(request, session, 400,
+                                            'CSRF token missing')
+            path = self._save_upload(request.files.get('image_file'),
+                                     'image')
+            if path:
+                result = clean_result(
+                    self.engine.predict_image_paths([path])[0])
+                self._record(session, 'image', result, 'image', path)
+                return self.render(session, 'results.html',
+                                   modality='image', result=result,
+                                   image_path=path)
+            session.flash('Invalid image file.', 'danger')
+        return self.render(session, 'image_input.html')
+
+    @login_required
+    def predict_multimodal(self, request, session):
+        if request.method == 'POST':
+            if not self._check_csrf(request, session):
+                return self._error_response(request, session, 400,
+                                            'CSRF token missing')
+            audio_path = self._save_upload(request.files.get('audio_file'),
+                                           'audio')
+            image_path = self._save_upload(request.files.get('image_file'),
+                                           'image')
+            text = request.form.get('text_input')
+            results = self.engine.predict_multimodal(audio_path, text,
+                                                     image_path)
+            self._save_multimodal(session, results)
+            results = {k: clean_result(v) for k, v in results.items()}
+            return self.render(session, 'results.html',
+                               modality='multimodal', result=results,
+                               image_path=image_path, text=text)
+        return self.render(session, 'multimodal_input.html')
+
+    def _save_multimodal(self, session: Session,
+                         results: Dict[str, Dict]) -> None:
+        if 'user_id' not in session:
+            return
+        top = (results.get('fusion') or results.get('speech')
+               or results.get('text') or results.get('image') or {})
+        self.db.save_prediction(
+            user_id=session['user_id'], input_type='multimodal',
+            predicted_emotion=top.get('emotion'),
+            confidence_score=top.get('confidence'),
+            speech_emotion=results.get('speech', {}).get('emotion'),
+            text_emotion=results.get('text', {}).get('emotion'),
+            image_emotion=results.get('image', {}).get('emotion'),
+            speech_confidence=results.get('speech', {}).get('confidence'),
+            text_confidence=results.get('text', {}).get('confidence'),
+            image_confidence=results.get('image', {}).get('confidence'))
+        fusion_label = (results.get('fusion') or {}).get('emotion')
+        if fusion_label:
+            self.db.increment_emotion_stat(fusion_label)
+
+    @login_required
+    def history(self, request, session):
+        preds = self.db.get_user_predictions(
+            session['user_id'],
+            emotion=request.args.get('emotion') or None,
+            modality=request.args.get('modality') or None,
+            start=request.args.get('start') or None,
+            end=request.args.get('end') or None)
+        return self.render(session, 'history.html', predictions=preds)
+
+    @login_required
+    def export_history_csv(self, request, session):
+        preds = self.db.get_user_predictions(session['user_id'])
+        out = io.StringIO()
+        writer = csv.writer(out)
+        writer.writerow(['date', 'modality', 'emotion', 'confidence',
+                         'speech_emotion', 'text_emotion', 'image_emotion'])
+        for p in preds:
+            writer.writerow([
+                p.prediction_date, p.input_type, p.predicted_emotion,
+                f'{(p.confidence_score or 0):.4f}',
+                p.speech_emotion or '', p.text_emotion or '',
+                p.image_emotion or ''])
+        return Response(out.getvalue(), mimetype='text/csv', headers={
+            'Content-Disposition': 'attachment; filename=history.csv'})
+
+    @login_required
+    def statistics_page(self, request, session):
+        stats = self.db.get_emotion_statistics()
+        return self.render(session, 'statistics.html',
+                           labels=[s.emotion for s in stats],
+                           values=[s.count for s in stats])
+
+    # ------------------------------------------------------------------
+    # JSON API
+    # ------------------------------------------------------------------
+    def api_register(self, request, session):
+        if not self.limiter.allow(f'register:{request.remote_addr}',
+                                  ratelimit.REGISTER_RULES):
+            return jsonify({'error': 'rate limited'}, 429)
+        data = request.get_json(silent=True) or {}
+        username, email, password = (data.get('username'),
+                                     data.get('email'),
+                                     data.get('password'))
+        if not (username and email and password):
+            return jsonify(
+                {'error': 'username, email, and password are required'}, 400)
+        if self.db.find_user(username, email):
+            return jsonify({'error': 'username or email exists'}, 409)
+        user = self.db.create_user(username, email, password)
+        session['user_id'] = user.id
+        session['username'] = user.username
+        return jsonify({'id': user.id, 'username': user.username,
+                        'email': user.email}, 201)
+
+    def api_login(self, request, session):
+        if not self.limiter.allow(f'login:{request.remote_addr}',
+                                  ratelimit.LOGIN_RULES):
+            return jsonify({'error': 'rate limited'}, 429)
+        data = request.get_json(silent=True) or {}
+        username, password = data.get('username'), data.get('password')
+        if not (username and password):
+            return jsonify({'error': 'username and password required'}, 400)
+        user = self.db.find_user(username)
+        if not user or not user.check_password(password):
+            return jsonify({'error': 'invalid credentials'}, 401)
+        session['user_id'] = user.id
+        session['username'] = user.username
+        return jsonify({'message': 'logged in', 'username': user.username})
+
+    def api_logout(self, request, session):
+        session.clear()
+        return jsonify({'message': 'logged out'})
+
+    def api_user_profile(self, request, session):
+        if 'user_id' not in session:
+            return jsonify({'error': 'unauthorized'}, 401)
+        return jsonify({'id': session['user_id'],
+                        'username': session.get('username')})
+
+    def api_predict_speech(self, request, session):
+        if 'audio' not in request.files:
+            return jsonify({'error': 'multipart/form-data with audio file '
+                            'required (field name: audio)'}, 400)
+        path = self._save_upload(request.files['audio'], 'audio')
+        if not path:
+            return jsonify({'error': 'invalid file'}, 400)
+        result = clean_result(self.engine.predict_speech_paths([path])[0])
+        self._record(session, 'speech', result, 'speech', path)
+        return jsonify(result)
+
+    def api_predict_text(self, request, session):
+        data = request.get_json(silent=True) or {}
+        text = data.get('text')
+        if not text:
+            return jsonify({'error': 'text is required'}, 400)
+        result = clean_result(self.engine.predict_texts([text])[0])
+        self._record(session, 'text', result, 'text')
+        return jsonify(result)
+
+    def api_predict_image(self, request, session):
+        if 'image' not in request.files:
+            return jsonify({'error': 'multipart/form-data with image file '
+                            'required (field name: image)'}, 400)
+        path = self._save_upload(request.files['image'], 'image')
+        if not path:
+            return jsonify({'error': 'invalid file'}, 400)
+        result = clean_result(self.engine.predict_image_paths([path])[0])
+        self._record(session, 'image', result, 'image', path)
+        return jsonify(result)
+
+    def api_predict_multimodal(self, request, session):
+        text = request.form.get('text') or \
+            (request.get_json(silent=True) or {}).get('text')
+        audio_path = self._save_upload(request.files.get('audio'), 'audio')
+        image_path = self._save_upload(request.files.get('image'), 'image')
+        results = self.engine.predict_multimodal(audio_path, text,
+                                                 image_path)
+        self._save_multimodal(session, results)
+        return jsonify({k: clean_result(v) for k, v in results.items()})
+
+    @api_login_required
+    def api_predictions(self, request, session):
+        preds = self.db.get_user_predictions(session['user_id'])
+        return jsonify([{'id': p.id, 'date': p.prediction_date,
+                         'modality': p.input_type,
+                         'emotion': p.predicted_emotion,
+                         'confidence': p.confidence_score}
+                        for p in preds])
+
+    @api_login_required
+    def api_delete_prediction(self, request, session, pid: int):
+        p = self.db.get_prediction(pid)
+        if not p or p.user_id != session['user_id']:
+            return jsonify({'error': 'not found'}, 404)
+        self.db.delete_prediction(pid)
+        return jsonify({'message': 'deleted'})
+
+    def api_statistics(self, request, session):
+        stats = self.db.get_emotion_statistics()
+        return jsonify([{'emotion': s.emotion, 'count': s.count}
+                        for s in stats])
+
+    def api_metrics(self, request, session):
+        """Serving-loop stage timings (new; the reference has no tracing,
+        SURVEY.md §5) + trained-model metrics from the DB."""
+        return jsonify({
+            'stages': timer.summary(),
+            'models': [{'model': m.model_name, 'accuracy': m.accuracy,
+                        'f1': m.f1_score, 'date': m.training_date}
+                       for m in self.db.get_model_metrics()],
+        })
+
+
+def create_app(db=None, engine=None, testing: bool = False,
+               models_dir: Optional[str] = None) -> EmotionApp:
+    return EmotionApp(db=db, engine=engine, testing=testing,
+                      models_dir=models_dir)

@@ -1,0 +1,46 @@
+"""In-memory sliding-window rate limiter.
+
+Covers the reference's Flask-Limiter rules (reference app.py:63-75,130,156):
+default '200 per day; 50 per hour', register '3 per hour', login
+'5 per 15 minutes'. Keyed by client address; windows are deques of
+timestamps pruned on access.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import defaultdict, deque
+from typing import Deque, Dict, Sequence, Tuple
+
+Rule = Tuple[int, float]  # (max_requests, window_seconds)
+
+DEFAULT_RULES: Sequence[Rule] = ((200, 86400.0), (50, 3600.0))
+REGISTER_RULES: Sequence[Rule] = ((3, 3600.0),)
+LOGIN_RULES: Sequence[Rule] = ((5, 900.0),)
+
+
+class RateLimiter:
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self._lock = threading.Lock()
+        self._hits: Dict[Tuple[str, int], Deque[float]] = defaultdict(deque)
+
+    def allow(self, key: str, rules: Sequence[Rule] = DEFAULT_RULES) -> bool:
+        if not self.enabled:
+            return True
+        now = time.time()
+        with self._lock:
+            for i, (limit, window) in enumerate(rules):
+                q = self._hits[(key, i)]
+                while q and q[0] <= now - window:
+                    q.popleft()
+                if len(q) >= limit:
+                    return False
+            for i, _ in enumerate(rules):
+                self._hits[(key, i)].append(now)
+        return True
+
+    def reset(self) -> None:
+        with self._lock:
+            self._hits.clear()

@@ -1,0 +1,51 @@
+"""Production server CLI.
+
+`python -m mec_tpu.webapp.serve [--port 5000] [--warmup]`
+
+One process owns the TPU; werkzeug's threaded WSGI server front-ends it
+(replaces gunicorn's 2*CPU+1 forked sync workers, reference
+gunicorn_config.py:12-19 — forking would duplicate device state, the
+opposite of what a single-chip accelerator wants). --warmup compiles the
+serving graphs for every batch bucket before accepting traffic.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from mec_tpu.config import Config
+from mec_tpu.webapp.app import create_app
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description='Serve the emotion classifier')
+    p.add_argument('--host', default='0.0.0.0')
+    p.add_argument('--port', type=int, default=5000)
+    p.add_argument('--models-dir', default=None)
+    p.add_argument('--warmup', action='store_true',
+                   help='compile all batch buckets before serving')
+    p.add_argument('--threads', type=int, default=8)
+    args = p.parse_args(argv)
+
+    app = create_app(models_dir=args.models_dir)
+    if args.warmup:
+        print(f'Warming up buckets {Config.BATCH_BUCKETS}...')
+        app.engine.warmup(Config.BATCH_BUCKETS)
+
+    from werkzeug.serving import run_simple
+    print(f'Serving on http://{args.host}:{args.port} '
+          f'({args.threads} threads, 1 engine)')
+    run_simple(args.host, args.port, app, threaded=True,
+               processes=1, use_reloader=False)
+
+
+application = None  # created lazily for WSGI servers: use make_wsgi_app()
+
+
+def make_wsgi_app():
+    """WSGI factory (parity with reference wsgi.py)."""
+    return create_app()
+
+
+if __name__ == '__main__':
+    main()

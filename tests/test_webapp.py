@@ -1,0 +1,193 @@
+"""Route tests through the WSGI app (mirrors reference tests/test_routes.py:
+public pages :27-44, register/login/logout :47-86, auth redirect :92-94,
+JSON statistics :109-116, 404 :143-145 — plus the predict and API predict
+contracts the reference never tests)."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+from werkzeug.test import Client
+
+from mec_tpu.database import Database
+from mec_tpu.webapp.app import create_app
+
+
+@pytest.fixture()
+def app(tmp_path):
+    os.environ['UPLOAD_FOLDER'] = str(tmp_path / 'uploads')
+    from mec_tpu.config import Config
+    Config.UPLOAD_FOLDER = str(tmp_path / 'uploads')
+    db = Database(str(tmp_path / 'web.db'))
+    return create_app(db=db, testing=True)
+
+
+@pytest.fixture()
+def client(app):
+    return Client(app)
+
+
+@pytest.fixture()
+def logged_in(client):
+    client.post('/register', data={'username': 'tester',
+                                   'email': 'tester@example.com',
+                                   'password': 'password123'})
+    return client
+
+
+def _wav_bytes():
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from mec_tpu.ops import wav as wav_ops
+    import tempfile
+    path = tempfile.mktemp(suffix='.wav')
+    wav_ops.write_wav(path, np.sin(np.arange(66150) / 20.0
+                                   ).astype(np.float32) * 0.2, 22050)
+    with open(path, 'rb') as f:
+        return f.read()
+
+
+def test_public_pages(client):
+    for path in ('/', '/login', '/register'):
+        assert client.get(path).status_code == 200
+
+
+def test_security_headers(client):
+    r = client.get('/')
+    assert r.headers['X-Content-Type-Options'] == 'nosniff'
+    assert r.headers['X-Frame-Options'] == 'DENY'
+
+
+def test_404(client):
+    assert client.get('/definitely-not-a-page').status_code == 404
+
+
+def test_auth_redirect(client):
+    r = client.get('/dashboard')
+    assert r.status_code == 302
+    assert '/login' in r.headers['Location']
+
+
+def test_register_login_logout_flow(client):
+    r = client.post('/register', data={'username': 'flow',
+                                       'email': 'flow@example.com',
+                                       'password': 'password123'})
+    assert r.status_code == 302 and '/dashboard' in r.headers['Location']
+    assert client.get('/dashboard').status_code == 200
+    r = client.get('/logout')
+    assert r.status_code == 302
+    assert client.get('/dashboard').status_code == 302  # logged out
+    # bad password
+    r = client.post('/login', data={'username': 'flow',
+                                    'password': 'wrong'})
+    assert r.status_code == 200 and b'Invalid username' in r.data
+    r = client.post('/login', data={'username': 'flow',
+                                    'password': 'password123'})
+    assert r.status_code == 302
+
+
+def test_register_validation(client):
+    r = client.post('/register', data={'username': 'x',
+                                       'email': 'bad',
+                                       'password': 'short'})
+    assert r.status_code == 200  # re-rendered with flash, no user created
+
+
+def test_predict_text_html(logged_in):
+    r = logged_in.post('/predict/text',
+                       data={'text_input': 'I am so happy today!'})
+    assert r.status_code == 200
+    assert b'happy' in r.data
+
+
+def test_predict_speech_html(logged_in):
+    r = logged_in.post('/predict/speech', data={
+        'audio_file': (io.BytesIO(_wav_bytes()), 'clip.wav')})
+    assert r.status_code == 200
+    # history now has one speech row
+    h = logged_in.get('/history')
+    assert b'speech' in h.data
+
+
+def test_api_register_login_profile(client):
+    r = client.post('/api/register', json={'username': 'apiuser',
+                                           'email': 'api@example.com',
+                                           'password': 'password123'})
+    assert r.status_code == 201 and r.json['username'] == 'apiuser'
+    r = client.post('/api/logout')
+    assert r.json['message'] == 'logged out'
+    r = client.get('/api/user/profile')
+    assert r.status_code == 401
+    r = client.post('/api/login', json={'username': 'apiuser',
+                                        'password': 'password123'})
+    assert r.status_code == 200
+    r = client.get('/api/user/profile')
+    assert r.json['username'] == 'apiuser'
+
+
+def test_api_predict_text_and_predictions(client):
+    client.post('/api/register', json={'username': 'p1',
+                                       'email': 'p1@example.com',
+                                       'password': 'password123'})
+    r = client.post('/api/predict/text', json={'text': 'this is scary'})
+    assert r.status_code == 200
+    body = r.json
+    assert set(body) >= {'emotion', 'confidence', 'all_probabilities'}
+    assert len(body['all_probabilities']) == 7
+    preds = client.get('/api/predictions').json
+    assert len(preds) == 1 and preds[0]['modality'] == 'text'
+    pid = preds[0]['id']
+    assert client.delete(f'/api/predictions/{pid}').json['message'] \
+        == 'deleted'
+    assert client.get('/api/predictions').json == []
+
+
+def test_api_predict_multimodal_two_modalities(client):
+    client.post('/api/register', json={'username': 'mm',
+                                       'email': 'mm@example.com',
+                                       'password': 'password123'})
+    r = client.post('/api/predict/multimodal', data={
+        'text': 'I am angry about this',
+        'audio': (io.BytesIO(_wav_bytes()), 'clip.wav')})
+    assert r.status_code == 200
+    body = r.json
+    assert 'text' in body and 'speech' in body and 'fusion' in body
+    assert abs(sum(body['fusion']['all_probabilities']) - 1.0) < 1e-6
+
+
+def test_api_statistics_and_csv_export(client):
+    client.post('/api/register', json={'username': 'st',
+                                       'email': 'st@example.com',
+                                       'password': 'password123'})
+    client.post('/api/predict/text', json={'text': 'wonderful happy day'})
+    stats = client.get('/api/statistics').json
+    assert any(s['count'] >= 1 for s in stats)
+    csv_r = client.get('/history/export.csv')
+    assert csv_r.status_code == 200
+    assert csv_r.headers['Content-Type'].startswith('text/csv')
+    lines = csv_r.data.decode().strip().splitlines()
+    assert lines[0].startswith('date,modality,emotion')
+    assert len(lines) == 2
+
+
+def test_api_predict_speech_bad_file(client):
+    r = client.post('/api/predict/speech', data={
+        'audio': (io.BytesIO(b'nope'), 'evil.exe')})
+    assert r.status_code == 400
+
+
+def test_413_too_large(client):
+    big = b'0' * (17 * 1024 * 1024)
+    r = client.post('/api/predict/speech', data={
+        'audio': (io.BytesIO(big), 'big.wav')})
+    assert r.status_code == 413
+
+
+def test_api_metrics(client):
+    client.get('/')
+    r = client.get('/api/metrics')
+    assert r.status_code == 200
+    assert 'stages' in r.json
