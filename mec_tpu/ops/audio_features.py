@@ -348,17 +348,29 @@ def rms_mean(y: jnp.ndarray) -> jnp.ndarray:
 # Full 56-dim frontend
 # ----------------------------------------------------------------------
 
-def audio_features_56(y: jnp.ndarray) -> jnp.ndarray:
+def audio_features_56(y: jnp.ndarray, use_pallas: bool = False
+                      ) -> jnp.ndarray:
     """(B, 66150) float32 waveforms -> (B, 56) features.
 
     Feature order matches reference preprocessing/audio_preprocessing.py:40-46:
     40 MFCC, 12 chroma, then [zcr, centroid, rolloff, rms]
     (reference :33-37).
+
+    use_pallas routes the DFT and the mel->dB->DCT MFCC stage through the
+    fused Mosaic kernels (mec_tpu.ops.pallas_kernels); the XLA path is the
+    float32 logit-parity reference.
     """
     if y.ndim == 1:
         y = y[None, :]
-    mag, P = stft_spectrograms(y)
-    mfcc = mfcc_mean_from_power(P)
+    if use_pallas:
+        from mec_tpu.ops import pallas_kernels as pk
+        win = jnp.asarray(filters.hann_window(N_FFT))
+        frames = frame_signal(y, 'constant') * win
+        mag, P = pk.dft_spectrograms(frames)
+        mfcc = pk.mfcc_mean_pallas(P)
+    else:
+        mag, P = stft_spectrograms(y)
+        mfcc = mfcc_mean_from_power(P)
     chroma = chroma_mean_from_power(P)
     zcr = zcr_mean(y)
     centroid = spectral_centroid_mean(mag)

@@ -307,10 +307,26 @@ class EmotionEngine:
                 return waves.astype(jnp.float32) / 32768.0
             return waves
 
+        # Perf mode on TPU routes the speech path through the fused Mosaic
+        # kernels (DFT-matmul spectrogram, mel->dB->DCT MFCC, whole-DNN
+        # forward with folded BatchNorm); fp32 parity mode keeps the XLA
+        # path that matches librosa/Keras to <=1e-4.
+        from mec_tpu.ops import pallas_kernels as pk
+        use_pallas = (Config.USE_PALLAS and pk.on_tpu()
+                      and self.compute_dtype == jnp.bfloat16)
+        dnn_pallas = (pk.make_speech_dnn_pallas(self.speech['variables'])
+                      if use_pallas and self.speech is not None else None)
+
         def speech_fwd(variables, scaler, waves):
-            feats = af.audio_features_56(_decode_waves(waves))
+            feats = af.audio_features_56(_decode_waves(waves),
+                                         use_pallas=use_pallas)
             x = (feats - scaler[0]) / scaler[1]
-            probs, penult = speech_model.apply(variables, x)
+            if dnn_pallas is not None:
+                packed = dnn_pallas(x)
+                probs = packed[:, :7]
+                penult = packed[:, 7:7 + dnn_pallas.penult_dim]
+            else:
+                probs, penult = speech_model.apply(variables, x)
             return jnp.concatenate([probs, penult], axis=-1)  # (B, 7+64)
 
         def bert_fwd(variables, ids, mask):
