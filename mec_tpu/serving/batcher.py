@@ -1,0 +1,129 @@
+"""Micro-batching queue: concurrent requests share one device dispatch.
+
+The serving inversion of the reference's concurrency model (SURVEY.md §5):
+instead of N forked gunicorn workers each running batch-1 inference on
+their own model copies (reference gunicorn_config.py:16-18), many WSGI
+threads submit into one queue; a collector drains it every
+Config.BATCH_TIMEOUT_S (or when the largest bucket fills) and runs ONE
+batched compiled graph for everything pending, padding up to the bucket
+sizes the engine has already compiled.
+
+Latency math: the timeout (default 3 ms) bounds added queueing delay;
+under load the batch effect dominates — 32 concurrent tri-modal requests
+cost one dispatch instead of 32.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+from mec_tpu.config import Config
+
+
+class BatchQueue:
+    """Coalesces submit(item) calls into fn(list_of_items) invocations."""
+
+    def __init__(self, fn: Callable[[Sequence[Any]], List[Any]],
+                 max_batch: Optional[int] = None,
+                 timeout_s: Optional[float] = None,
+                 name: str = 'batch'):
+        self.fn = fn
+        self.max_batch = max_batch or Config.BATCH_BUCKETS[-1]
+        self.timeout_s = (Config.BATCH_TIMEOUT_S if timeout_s is None
+                          else timeout_s)
+        self.name = name
+        self._lock = threading.Lock()
+        self._pending: List[Tuple[Any, Future]] = []
+        self._wakeup = threading.Event()
+        self._stopped = False
+        self._thread = threading.Thread(target=self._loop,
+                                        name=f'batcher-{name}', daemon=True)
+        self._thread.start()
+        self.batches_run = 0
+        self.items_run = 0
+
+    def submit(self, item: Any) -> Any:
+        """Blocking: returns fn's result for this item."""
+        fut: Future = Future()
+        with self._lock:
+            if self._stopped:
+                raise RuntimeError('batcher stopped')
+            self._pending.append((item, fut))
+        self._wakeup.set()
+        return fut.result()
+
+    def stop(self) -> None:
+        with self._lock:
+            self._stopped = True
+        self._wakeup.set()
+        self._thread.join(timeout=2)
+
+    # ------------------------------------------------------------------
+    def _loop(self) -> None:
+        while True:
+            self._wakeup.wait()
+            with self._lock:
+                if self._stopped and not self._pending:
+                    return
+                has_work = bool(self._pending)
+                if not has_work:
+                    self._wakeup.clear()
+            if not has_work:
+                continue
+            # linger so concurrent submitters join this batch
+            if self.timeout_s > 0:
+                deadline = threading.Event()
+                deadline.wait(self.timeout_s)
+            with self._lock:
+                batch = self._pending[:self.max_batch]
+                del self._pending[:len(batch)]
+                if not self._pending:
+                    self._wakeup.clear()
+            if not batch:
+                continue
+            items = [b[0] for b in batch]
+            try:
+                results = self.fn(items)
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f'batch fn returned {len(results)} results '
+                        f'for {len(items)} items')
+                for (_, fut), res in zip(batch, results):
+                    fut.set_result(res)
+            except Exception as e:  # pragma: no cover - defensive
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+            self.batches_run += 1
+            self.items_run += len(batch)
+
+
+class EngineBatcher:
+    """Per-modality batch queues over an EmotionEngine."""
+
+    def __init__(self, engine, timeout_s: Optional[float] = None):
+        self.engine = engine
+        self.text = BatchQueue(lambda ts: engine.predict_texts(list(ts)),
+                               timeout_s=timeout_s, name='text')
+        self.speech = BatchQueue(
+            lambda ps: engine.predict_speech_paths(list(ps)),
+            timeout_s=timeout_s, name='speech')
+        self.image = BatchQueue(
+            lambda ps: engine.predict_image_paths(list(ps)),
+            timeout_s=timeout_s, name='image')
+        self.multimodal = BatchQueue(
+            lambda rs: engine.predict_multimodal_batch(list(rs)),
+            timeout_s=timeout_s, name='multimodal')
+
+    def stats(self) -> Dict[str, Dict[str, int]]:
+        return {name: {'batches': q.batches_run, 'items': q.items_run}
+                for name, q in (('text', self.text),
+                                ('speech', self.speech),
+                                ('image', self.image),
+                                ('multimodal', self.multimodal))}
+
+    def stop(self) -> None:
+        for q in (self.text, self.speech, self.image, self.multimodal):
+            q.stop()

@@ -132,6 +132,7 @@ class EmotionApp:
         self.testing = testing
         self.db = db if db is not None else get_db()
         self._engine = engine
+        self._batcher = None
         self._models_dir = models_dir
         self.limiter = ratelimit.RateLimiter(enabled=not testing)
         self.log = setup_logging()
@@ -148,6 +149,15 @@ class EmotionApp:
             from mec_tpu.serving.engine import get_engine
             self._engine = get_engine(models_dir=self._models_dir)
         return self._engine
+
+    @property
+    def batcher(self):
+        """Micro-batching queues: concurrent requests coalesce into one
+        device dispatch (mec_tpu.serving.batcher)."""
+        if self._batcher is None:
+            from mec_tpu.serving.batcher import EngineBatcher
+            self._batcher = EngineBatcher(self.engine)
+        return self._batcher
 
     # ------------------------------------------------------------------
     # plumbing
@@ -345,8 +355,7 @@ class EmotionApp:
             path = self._save_upload(request.files.get('audio_file'),
                                      'audio')
             if path:
-                result = clean_result(
-                    self.engine.predict_speech_paths([path])[0])
+                result = clean_result(self.batcher.speech.submit(path))
                 self._record(session, 'speech', result, 'speech', path)
                 return self.render(session, 'results.html',
                                    modality='speech', result=result)
@@ -361,7 +370,7 @@ class EmotionApp:
                                             'CSRF token missing')
             text = request.form.get('text_input')
             if text:
-                result = clean_result(self.engine.predict_texts([text])[0])
+                result = clean_result(self.batcher.text.submit(text))
                 self._record(session, 'text', result, 'text')
                 return self.render(session, 'results.html', modality='text',
                                    result=result, text=text)
@@ -377,8 +386,7 @@ class EmotionApp:
             path = self._save_upload(request.files.get('image_file'),
                                      'image')
             if path:
-                result = clean_result(
-                    self.engine.predict_image_paths([path])[0])
+                result = clean_result(self.batcher.image.submit(path))
                 self._record(session, 'image', result, 'image', path)
                 return self.render(session, 'results.html',
                                    modality='image', result=result,
@@ -397,8 +405,9 @@ class EmotionApp:
             image_path = self._save_upload(request.files.get('image_file'),
                                            'image')
             text = request.form.get('text_input')
-            results = self.engine.predict_multimodal(audio_path, text,
-                                                     image_path)
+            results = self.batcher.multimodal.submit(
+                {'audio_path': audio_path, 'text': text,
+                 'image_path': image_path})
             self._save_multimodal(session, results)
             results = {k: clean_result(v) for k, v in results.items()}
             return self.render(session, 'results.html',
@@ -513,7 +522,7 @@ class EmotionApp:
         path = self._save_upload(request.files['audio'], 'audio')
         if not path:
             return jsonify({'error': 'invalid file'}, 400)
-        result = clean_result(self.engine.predict_speech_paths([path])[0])
+        result = clean_result(self.batcher.speech.submit(path))
         self._record(session, 'speech', result, 'speech', path)
         return jsonify(result)
 
@@ -522,7 +531,7 @@ class EmotionApp:
         text = data.get('text')
         if not text:
             return jsonify({'error': 'text is required'}, 400)
-        result = clean_result(self.engine.predict_texts([text])[0])
+        result = clean_result(self.batcher.text.submit(text))
         self._record(session, 'text', result, 'text')
         return jsonify(result)
 
@@ -533,7 +542,7 @@ class EmotionApp:
         path = self._save_upload(request.files['image'], 'image')
         if not path:
             return jsonify({'error': 'invalid file'}, 400)
-        result = clean_result(self.engine.predict_image_paths([path])[0])
+        result = clean_result(self.batcher.image.submit(path))
         self._record(session, 'image', result, 'image', path)
         return jsonify(result)
 
@@ -542,8 +551,9 @@ class EmotionApp:
             (request.get_json(silent=True) or {}).get('text')
         audio_path = self._save_upload(request.files.get('audio'), 'audio')
         image_path = self._save_upload(request.files.get('image'), 'image')
-        results = self.engine.predict_multimodal(audio_path, text,
-                                                 image_path)
+        results = self.batcher.multimodal.submit(
+            {'audio_path': audio_path, 'text': text,
+             'image_path': image_path})
         self._save_multimodal(session, results)
         return jsonify({k: clean_result(v) for k, v in results.items()})
 
@@ -574,6 +584,7 @@ class EmotionApp:
         SURVEY.md §5) + trained-model metrics from the DB."""
         return jsonify({
             'stages': timer.summary(),
+            'batcher': (self._batcher.stats() if self._batcher else {}),
             'models': [{'model': m.model_name, 'accuracy': m.accuracy,
                         'f1': m.f1_score, 'date': m.training_date}
                        for m in self.db.get_model_metrics()],
