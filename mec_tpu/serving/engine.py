@@ -40,6 +40,7 @@ import numpy as np
 
 from mec_tpu.config import Config
 from mec_tpu.convert import store
+from mec_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from mec_tpu.models.bert import BertForSequenceClassification
 from mec_tpu.models.bilstm import BiLSTMTextModel
 from mec_tpu.models.fusion import MultiModalFusionModel
@@ -109,6 +110,11 @@ class EmotionEngine:
         self.compute_dtype = (jnp.bfloat16
                               if Config.COMPUTE_DTYPE == 'bfloat16'
                               else jnp.float32)
+        # Serving data parallelism: with >1 visible device, request
+        # batches shard along the mesh 'data' axis and params replicate —
+        # scaling out is placement, not new code (SURVEY.md §2.3).
+        self.mesh = make_mesh() if jax.device_count() > 1 else None
+        self._data_size = self.mesh.shape['data'] if self.mesh else 1
         self.speech: Optional[Dict[str, Any]] = None
         self.bert: Optional[Dict[str, Any]] = None
         self.lstm: Optional[Dict[str, Any]] = None
@@ -252,10 +258,26 @@ class EmotionEngine:
         # trees into jit re-uploads them on every call (for bert-base that
         # is ~440 MB per request batch — the dominant cost over a remote
         # device link); committed jax.Arrays are reused by reference.
+        # Under a multi-device mesh, params replicate across it.
+        sharding = replicated(self.mesh) if self.mesh else None
         for art in (self.speech, self.bert, self.lstm, self.image,
                     self.fusion):
             if art is not None:
-                art['variables'] = jax.device_put(art['variables'])
+                art['variables'] = (jax.device_put(art['variables'], sharding)
+                                    if sharding
+                                    else jax.device_put(art['variables']))
+
+    def _bucket(self, n: int) -> int:
+        """Bucket size for n rows, rounded so it splits over the mesh."""
+        b = _bucket_for(n)
+        d = self._data_size
+        return -(-b // d) * d
+
+    def _place(self, x: np.ndarray):
+        """Shard a padded batch over the data axis (no-op single-device)."""
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, batch_sharding(self.mesh))
 
     # ------------------------------------------------------------------
     # jitted graphs
@@ -396,10 +418,11 @@ class EmotionEngine:
         return waves
 
     def _run_speech(self, waves: np.ndarray):
-        b = _bucket_for(waves.shape[0])
+        b = self._bucket(waves.shape[0])
         packed = np.asarray(self._speech_jit(
             self.speech['variables'], self.speech['scaler'],
-            _pad_rows(self._wire_waves(waves), b)))[:waves.shape[0]]
+            self._place(_pad_rows(self._wire_waves(waves), b))
+            ))[:waves.shape[0]]
         return packed[:, :7], packed[:, 7:]
 
     def predict_speech_waves(self, waves: np.ndarray,
@@ -457,10 +480,10 @@ class EmotionEngine:
             return [self.text_keyword_heuristic(t) for t in texts]
         ids, mask = self.bert_tokenizer.encode_batch(
             list(texts), Config.MAX_TEXT_LENGTH)
-        b = _bucket_for(ids.shape[0])
+        b = self._bucket(ids.shape[0])
         packed = np.asarray(self._bert_jit(
-            self.bert['variables'], _pad_rows(ids, b),
-            _pad_rows(mask, b)))[:ids.shape[0]]
+            self.bert['variables'], self._place(_pad_rows(ids, b)),
+            self._place(_pad_rows(mask, b))))[:ids.shape[0]]
         probs, cls = packed[:, :7], packed[:, 7:]
         out = []
         for i in range(len(texts)):
@@ -477,9 +500,10 @@ class EmotionEngine:
         cleaned = [t.lower().strip() for t in texts]
         ids = self.lstm_tokenizer.encode_batch(cleaned,
                                                Config.MAX_TEXT_LENGTH)
-        b = _bucket_for(ids.shape[0])
-        probs = np.asarray(self._lstm_jit(self.lstm['variables'],
-                                          _pad_rows(ids, b)))[:len(texts)]
+        b = self._bucket(ids.shape[0])
+        probs = np.asarray(self._lstm_jit(
+            self.lstm['variables'],
+            self._place(_pad_rows(ids, b))))[:len(texts)]
         return [result_dict(p) for p in probs]
 
     IMAGE_FALLBACK_LABEL = 'neutral'
@@ -495,10 +519,10 @@ class EmotionEngine:
         """(B, 224, 224, 3) uint8 -> result dicts."""
         if self.image is None:
             return [self.image_fallback() for _ in range(imgs_u8.shape[0])]
-        b = _bucket_for(imgs_u8.shape[0])
+        b = self._bucket(imgs_u8.shape[0])
         packed = np.asarray(self._image_jit(
             self.image['variables'],
-            _pad_rows(imgs_u8, b)))[:imgs_u8.shape[0]]
+            self._place(_pad_rows(imgs_u8, b))))[:imgs_u8.shape[0]]
         probs, feat = packed[:, :7], packed[:, 7:]
         out = []
         for i in range(imgs_u8.shape[0]):
@@ -607,13 +631,15 @@ class EmotionEngine:
         ids, mask = self.bert_tokenizer.encode_batch(
             [text], Config.MAX_TEXT_LENGTH)
         img = load_image_uint8(image_path)[None]
-        b = _bucket_for(1)
+        b = self._bucket(1)
         packed = np.asarray(self._trimodal_jit(
             self.speech['variables'], self.speech['scaler'],
             self.bert['variables'], self.image['variables'],
             self.fusion['variables'],
-            _pad_rows(self._wire_waves(waves), b), _pad_rows(ids, b),
-            _pad_rows(mask, b), _pad_rows(img, b)))[0]
+            self._place(_pad_rows(self._wire_waves(waves), b)),
+            self._place(_pad_rows(ids, b)),
+            self._place(_pad_rows(mask, b)),
+            self._place(_pad_rows(img, b))))[0]
         return {
             'speech': result_dict(packed[:7]),
             'text': result_dict(packed[7:14]),
@@ -641,13 +667,15 @@ class EmotionEngine:
                 Config.MAX_TEXT_LENGTH)
             imgs = np.stack([load_image_uint8(requests[i]['image_path'])
                              for i in full_idx])
-            b = _bucket_for(len(full_idx))
+            b = self._bucket(len(full_idx))
             packed = np.asarray(self._trimodal_jit(
                 self.speech['variables'], self.speech['scaler'],
                 self.bert['variables'], self.image['variables'],
                 self.fusion['variables'],
-                _pad_rows(self._wire_waves(waves), b), _pad_rows(ids, b),
-                _pad_rows(mask, b), _pad_rows(imgs, b)))
+                self._place(_pad_rows(self._wire_waves(waves), b)),
+                self._place(_pad_rows(ids, b)),
+                self._place(_pad_rows(mask, b)),
+                self._place(_pad_rows(imgs, b))))
             for j, i in enumerate(full_idx):
                 row = packed[j]
                 out[i] = {
