@@ -1,0 +1,52 @@
+"""On-demand g++ build + ctypes loading for the native components."""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_CACHE: dict = {}
+
+
+def _build_dir() -> str:
+    d = os.environ.get('MEC_NATIVE_BUILD_DIR')
+    if d:
+        return d
+    return os.path.join(tempfile.gettempdir(), 'mec_tpu_native')
+
+
+def load_library(name: str) -> Optional[ctypes.CDLL]:
+    """Compile mec_tpu/native/<name>.cpp (if needed) and dlopen it.
+
+    Returns None when no compiler is available — callers fall back to
+    their pure-Python implementation.
+    """
+    with _LOCK:
+        if name in _CACHE:
+            return _CACHE[name]
+        src = os.path.join(_HERE, f'{name}.cpp')
+        try:
+            with open(src, 'rb') as f:
+                digest = hashlib.sha256(f.read()).hexdigest()[:16]
+            out_dir = _build_dir()
+            os.makedirs(out_dir, exist_ok=True)
+            so_path = os.path.join(out_dir, f'lib{name}-{digest}.so')
+            if not os.path.exists(so_path):
+                tmp = so_path + f'.tmp{os.getpid()}'
+                subprocess.run(
+                    ['g++', '-O2', '-shared', '-fPIC', '-std=c++17',
+                     '-pthread', src, '-o', tmp],
+                    check=True, capture_output=True)
+                os.replace(tmp, so_path)
+            lib = ctypes.CDLL(so_path)
+        except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+            lib = None
+        _CACHE[name] = lib
+        return lib

@@ -196,6 +196,15 @@ class EmotionEngine:
                 self.bert = {'variables': variables, 'kwargs': kwargs or {}}
                 self.bert_tokenizer = WordPieceTokenizer.from_pretrained_dir(
                     bert_dir)
+                if self.bert_tokenizer is not None:
+                    # C++ fast path for ASCII batches (hot-path CPU work;
+                    # mec_tpu/native/wordpiece.cpp). Best-effort: falls
+                    # back to the Python encoder when g++ is unavailable.
+                    try:
+                        from mec_tpu.native.tokenizer import accelerate
+                        accelerate(self.bert_tokenizer)
+                    except Exception as e:
+                        log.info('native tokenizer unavailable: %s', e)
                 if self.bert_tokenizer is None:
                     log.warning('BERT vocab.txt missing; text model disabled')
                     self.bert = None

@@ -126,8 +126,28 @@ def pad_batch(batch: Dict[str, np.ndarray], batch_size: int
              for k, v in batch.items()}, n)
 
 
-class FitResult(struct.PyTreeNode):
-    pass
+def record_metrics(model_name: str, val_acc: float,
+                   y_true=None, y_pred=None) -> None:
+    """Best-effort accuracy/F1 logging into the model_metrics table
+    (the reference defines the table but never writes it,
+    reference database/db_operations.py:75-84)."""
+    try:
+        from mec_tpu.database import get_db
+        from mec_tpu.training import metrics as m
+        f1 = precision = recall = None
+        if y_true is not None and y_pred is not None and len(y_true):
+            import numpy as _np
+            pr = m.precision_recall_f1(_np.asarray(y_true),
+                                       _np.asarray(y_pred),
+                                       int(max(_np.max(y_true), 6)) + 1)
+            precision = float(pr['precision'].mean())
+            recall = float(pr['recall'].mean())
+            f1 = float(pr['f1'].mean())
+        get_db().record_model_metric(model_name, accuracy=float(val_acc),
+                                     precision_score=precision,
+                                     recall_score=recall, f1_score=f1)
+    except Exception:
+        pass
 
 
 def fit(state: TrainState,

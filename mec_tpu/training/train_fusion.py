@@ -159,6 +159,8 @@ def train(num_samples: int = 10000, epochs: int = 100,
     preds = logits.argmax(axis=-1)
     log('\n' + metrics.classification_report(labels[va], preds,
                                              Config.EMOTIONS))
+    common.record_metrics('fusion_attention', max(history['val_acc']),
+                          labels[va], preds)
 
     models_dir = models_dir or os.path.dirname(Config.FUSION_MODEL_PATH)
     os.makedirs(models_dir, exist_ok=True)

@@ -146,11 +146,12 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
     preds = logits.argmax(axis=-1)
     log('\n' + metrics.classification_report(labels[va], preds,
                                              Config.EMOTIONS))
+    best_acc = max(max(hist1['val_acc']), max(hist2['val_acc']))
+    common.record_metrics('image_resnet50', best_acc, labels[va], preds)
 
     models_dir = models_dir or os.path.dirname(Config.IMAGE_MODEL_PATH)
     os.makedirs(models_dir, exist_ok=True)
     out = os.path.join(models_dir, 'image_model.mecp')
-    best_acc = max(max(hist1['val_acc']), max(hist2['val_acc']))
     store.save_params(out, best_vars, meta={'val_acc': float(best_acc)})
     log(f'Saved {out}')
     return best_vars, {'phase1': hist1, 'phase2': hist2}

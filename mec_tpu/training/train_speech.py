@@ -126,6 +126,8 @@ def train(data_root: str = 'datasets/speech', pattern: str = '**/*.wav',
                                   {'x': X_val, 'label': onehot[y_val]}))
     preds = logits.argmax(axis=-1)
     log('\n' + metrics.classification_report(y_val, preds, Config.EMOTIONS))
+    common.record_metrics('speech_dnn', max(history['val_acc']),
+                          y_val, preds)
 
     models_dir = models_dir or os.path.dirname(Config.SPEECH_MODEL_PATH)
     os.makedirs(models_dir, exist_ok=True)

@@ -144,6 +144,8 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
     preds = logits.argmax(axis=-1)
     log('\n' + metrics.classification_report(val_data['label'], preds,
                                              Config.EMOTIONS))
+    common.record_metrics('bert_text', max(history['val_acc']),
+                          val_data['label'], preds)
 
     models_dir = models_dir or Config.BERT_MODEL_PATH
     os.makedirs(models_dir, exist_ok=True)

@@ -98,6 +98,8 @@ def train(csv_path: str, epochs: int = 10, batch_size: int = 32,
     preds = logits.argmax(axis=-1)
     log('\nTest set report:')
     log(metrics.classification_report(labels[te], preds, Config.EMOTIONS))
+    common.record_metrics('lstm_text', max(history['val_acc']),
+                          labels[te], preds)
 
     models_dir = models_dir or os.path.dirname(Config.TEXT_MODEL_PATH)
     os.makedirs(models_dir, exist_ok=True)

@@ -21,6 +21,12 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 # Parity tests compare against fp32 oracles.
 os.environ.setdefault("MEC_COMPUTE_DTYPE", "float32")
+# Keep the default database (trainer metric records etc.) out of the repo.
+import tempfile  # noqa: E402
+os.environ.setdefault(
+    "DATABASE_URL",
+    "sqlite:///" + os.path.join(tempfile.mkdtemp(prefix="mec_test_db"),
+                                "emotion.db"))
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
