@@ -53,3 +53,16 @@ if Config.COMPUTE_DTYPE == "float32":
     import jax as _jax
 
     _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the serving graphs are large (BERT +
+# ResNet50 + frontend fused) and this environment's remote compile service
+# is slow/variable; caching compiled executables across processes cuts
+# cold starts ~5x. Opt out with MEC_JAX_CACHE_DIR=''.
+import os as _os
+
+_cache_dir = _os.environ.get("MEC_JAX_CACHE_DIR", "/tmp/mec_jax_cache")
+if _cache_dir:
+    import jax as _jax2
+
+    _jax2.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax2.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

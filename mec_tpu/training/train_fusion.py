@@ -8,10 +8,10 @@ T_mult=2), grad clip 1.0, early stop patience 15, checkpoint embeds the
 dims config (:580-624), and per-epoch mean attention/decision-weight
 logging (:602-603).
 
-When all three encoder artifacts exist, --real-features extracts fused
-features from actual multimodal triples through the serving engine's
-single-pass extractors (the reference acknowledges its synthetic-only
-training at :460-463).
+When all three encoder artifacts exist, --manifest trains on REAL
+multimodal triples: features come from the serving engine's single-pass
+extractors (the reference acknowledges its synthetic-only training at
+:460-463, and its extractors re-run every encoder twice).
 """
 
 from __future__ import annotations
@@ -56,6 +56,59 @@ def generate_synthetic_data(num_samples: int = 10000, seed: int = 42
     return (feats['speech'], feats['text'], feats['image'],
             preds['speech'], preds['text'], preds['image'],
             labels.astype(np.int32))
+
+
+def extract_real_features(manifest_csv: str,
+                          models_dir: Optional[str] = None,
+                          chunk: int = 32, verbose: bool = True):
+    """Manifest CSV (audio_path,text,image_path,label) -> fusion dataset.
+
+    One engine pass per modality chunk; each returns probabilities AND
+    the fusion feature vector together (penultimate/CLS/head features),
+    so real-data fusion training costs one forward per encoder instead of
+    the reference's two (reference train_fusion_model.py:49-189).
+    """
+    import csv as _csv
+
+    from mec_tpu.serving.engine import EmotionEngine
+
+    label_to_idx = {e: i for i, e in enumerate(Config.EMOTIONS)}
+    rows = []
+    with open(manifest_csv, newline='', encoding='utf-8') as f:
+        for row in _csv.DictReader(f):
+            if row.get('label', '').lower() in label_to_idx:
+                rows.append(row)
+    if not rows:
+        raise SystemExit(f'no usable rows in {manifest_csv}')
+    if verbose:
+        print(f'Extracting features for {len(rows)} triples...')
+
+    engine = EmotionEngine(models_dir=models_dir)
+    if not (engine.speech and engine.bert and engine.image):
+        raise SystemExit('real-feature extraction requires speech, bert, '
+                         'and image artifacts')
+
+    s_f, t_f, i_f, s_p, t_p, i_p, labels = [], [], [], [], [], [], []
+    for s in range(0, len(rows), chunk):
+        part = rows[s:s + chunk]
+        sp = engine.predict_speech_paths([r['audio_path'] for r in part],
+                                         want_features=True)
+        tx = engine.predict_texts([r['text'] for r in part],
+                                  want_features=True)
+        im = engine.predict_image_paths([r['image_path'] for r in part],
+                                        want_features=True)
+        for r, a, b, c in zip(part, sp, tx, im):
+            s_f.append(a['_features'])
+            t_f.append(b['_features'])
+            i_f.append(c['_features'])
+            s_p.append(a['all_probabilities'])
+            t_p.append(b['all_probabilities'])
+            i_p.append(c['all_probabilities'])
+            labels.append(label_to_idx[r['label'].lower()])
+    return (np.asarray(s_f, np.float32), np.asarray(t_f, np.float32),
+            np.asarray(i_f, np.float32), np.asarray(s_p, np.float32),
+            np.asarray(t_p, np.float32), np.asarray(i_p, np.float32),
+            np.asarray(labels, np.int32))
 
 
 def make_steps(model: MultiModalFusionModel):
@@ -180,9 +233,16 @@ def main(argv=None):
     p.add_argument('--num-samples', type=int, default=10000)
     p.add_argument('--models-dir', default=None)
     p.add_argument('--mesh-data', type=int, default=0)
+    p.add_argument('--manifest', default=None,
+                   help='CSV of audio_path,text,image_path,label rows: '
+                        'train on real multimodal triples instead of '
+                        'synthetic data')
     args = p.parse_args(argv)
+    dataset = (extract_real_features(args.manifest, args.models_dir)
+               if args.manifest else None)
     train(args.num_samples, args.epochs, args.batch_size,
-          args.learning_rate, args.models_dir, args.mesh_data)
+          args.learning_rate, args.models_dir, args.mesh_data,
+          dataset=dataset)
 
 
 if __name__ == '__main__':

@@ -185,3 +185,48 @@ def test_speech_dataset_loader(tmp_path):
     assert X.shape == (4, 56)
     assert sorted(np.unique(y).tolist()) == [
         Config.EMOTIONS.index('happy'), Config.EMOTIONS.index('sad')]
+
+
+def test_fusion_real_feature_extraction(tmp_path):
+    """--manifest path: engine extracts real per-modality features once
+    per encoder and the fusion trainer consumes them."""
+    import csv
+
+    from PIL import Image
+    from mec_tpu.ops import wav
+    from mec_tpu.serving.synthetic_artifacts import write_synthetic_artifacts
+    from mec_tpu.training import train_fusion
+
+    models_dir = str(tmp_path / 'models')
+    write_synthetic_artifacts(models_dir, tiny=True)
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(8):
+        wav_p = str(tmp_path / f'a{i}.wav')
+        img_p = str(tmp_path / f'i{i}.jpg')
+        wav.write_wav(wav_p, rng.randn(66150).astype(np.float32) * 0.1,
+                      22050)
+        Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)
+                        ).save(img_p)
+        rows.append({'audio_path': wav_p, 'text': f'sample text {i} happy',
+                     'image_path': img_p,
+                     'label': Config.EMOTIONS[i % 7]})
+    manifest = tmp_path / 'manifest.csv'
+    with open(manifest, 'w', newline='') as f:
+        w = csv.DictWriter(f, fieldnames=['audio_path', 'text',
+                                          'image_path', 'label'])
+        w.writeheader()
+        w.writerows(rows)
+
+    ds = train_fusion.extract_real_features(str(manifest),
+                                            models_dir=models_dir,
+                                            verbose=False)
+    s_f, t_f, i_f, s_p, t_p, i_p, labels = ds
+    assert s_f.shape == (8, 64) and i_f.shape == (8, 512)
+    assert t_f.shape[0] == 8 and s_p.shape == (8, 7)
+    assert np.allclose(s_p.sum(axis=1), 1.0, atol=1e-5)
+    best, cfg, hist = train_fusion.train(
+        epochs=1, batch_size=8, models_dir=models_dir, dataset=ds,
+        verbose=False)
+    assert cfg['text_dim'] == t_f.shape[1]
