@@ -31,8 +31,7 @@ from __future__ import annotations
 import logging
 import os
 import threading
-from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,13 +16,11 @@ from __future__ import annotations
 
 import argparse
 import os
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from mec_tpu.config import Config
 from mec_tpu.convert import store
