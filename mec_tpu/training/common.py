@@ -168,8 +168,14 @@ def fit(state: TrainState,
         mesh=None,
         log_fn: Callable[[str], None] = print,
         on_epoch_end: Optional[Callable] = None,
+        checkpoint_path: Optional[str] = None,
+        resume: bool = False,
         ) -> Tuple[TrainState, Any, Dict[str, list]]:
     """Generic epoch loop with early stopping + LR-on-plateau.
+
+    checkpoint_path enables per-epoch full-TrainState checkpointing (the
+    reference only keeps best weights, SURVEY.md §5); resume=True restores
+    the state/epoch/history from it and continues mid-run.
 
     train_step(state, batch, dropout_rng) -> (state, loss)
     eval_step(variables, batch) -> logits (or probs)
@@ -185,13 +191,26 @@ def fit(state: TrainState,
     best_epoch = -1
     plateau_wait = 0
     stop_wait = 0
+    start_epoch = 0
+
+    if checkpoint_path and resume:
+        import os as _os
+
+        from mec_tpu.training import checkpoint as _ckpt
+        if _os.path.exists(checkpoint_path):
+            state, extra = _ckpt.restore_train_state(checkpoint_path, state)
+            start_epoch = int(extra.get('epoch', -1)) + 1
+            history = {k: list(v) for k, v in
+                       extra.get('history', history).items()}
+            best_metric = float(extra.get('best_metric', best_metric))
+            log_fn(f'Resumed from {checkpoint_path} at epoch {start_epoch}')
 
     batch_shard = batch_sharding(mesh) if mesh is not None else None
     repl = replicated(mesh) if mesh is not None else None
     if mesh is not None:
         state = jax.device_put(state, repl)
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
         for batch in iterate_batches(train_data, batch_size, np_rng):
@@ -256,6 +275,13 @@ def fit(state: TrainState,
                 log_fn(f'Early stopping at epoch {epoch + 1} '
                        f'(best epoch {best_epoch + 1})')
                 break
+
+        if checkpoint_path:
+            from mec_tpu.training import checkpoint as _ckpt
+            _ckpt.save_train_state(
+                checkpoint_path, state,
+                extra={'epoch': epoch, 'history': history,
+                       'best_metric': float(best_metric)})
 
         if on_epoch_end is not None:
             on_epoch_end(epoch, state, history)

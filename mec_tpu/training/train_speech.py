@@ -69,7 +69,8 @@ def train(data_root: str = 'datasets/speech', pattern: str = '**/*.wav',
           batch_size: int = 64, augment: bool = True,
           models_dir: Optional[str] = None, mesh_data: int = 0,
           seed: int = 42, X: Optional[np.ndarray] = None,
-          y: Optional[np.ndarray] = None, verbose: bool = True):
+          y: Optional[np.ndarray] = None, verbose: bool = True,
+          checkpoint_path: Optional[str] = None, resume: bool = False):
     log = print if verbose else (lambda *_a, **_k: None)
     if X is None:
         X, y = data.load_speech_dataset(data_root, pattern, label_from,
@@ -117,7 +118,8 @@ def train(data_root: str = 'datasets/speech', pattern: str = '**/*.wav',
         epochs=epochs, batch_size=batch_size, seed=seed,
         monitor='val_acc', patience=25,
         reduce_lr_factor=0.5, reduce_lr_patience=10, min_lr=1e-6,
-        mesh=mesh, log_fn=log)
+        mesh=mesh, log_fn=log,
+        checkpoint_path=checkpoint_path, resume=resume)
 
     # evaluation report on the best weights
     logits = np.asarray(eval_step(best_vars,
@@ -150,10 +152,15 @@ def main(argv=None):
     p.add_argument('--models-dir', default=None)
     p.add_argument('--mesh-data', type=int, default=0,
                    help='data-parallel mesh size (0/1 = single device)')
+    p.add_argument('--checkpoint', default=None,
+                   help='path for per-epoch full-TrainState checkpoints')
+    p.add_argument('--resume', action='store_true',
+                   help='resume from --checkpoint')
     args = p.parse_args(argv)
     train(args.data_root, args.pattern, args.label_from, args.epochs,
           args.batch_size, not args.no_augment, args.models_dir,
-          args.mesh_data)
+          args.mesh_data, checkpoint_path=args.checkpoint,
+          resume=args.resume)
 
 
 if __name__ == '__main__':

@@ -230,3 +230,22 @@ def test_fusion_real_feature_extraction(tmp_path):
         epochs=1, batch_size=8, models_dir=models_dir, dataset=ds,
         verbose=False)
     assert cfg['text_dim'] == t_f.shape[1]
+
+
+def test_fit_checkpoint_resume_midrun(tmp_path):
+    """Interrupt after 2 epochs; resuming continues at epoch 3 with
+    history and optimizer state intact."""
+    from mec_tpu.training import train_speech
+    X, y = _speech_data()
+    ckpt = str(tmp_path / 'speech.ckpt')
+    m1 = str(tmp_path / 'm1')
+    _, _, hist1 = train_speech.train(X=X, y=y, epochs=2, batch_size=16,
+                                     models_dir=m1, verbose=False,
+                                     checkpoint_path=ckpt)
+    assert os.path.exists(ckpt)
+    m2 = str(tmp_path / 'm2')
+    _, _, hist2 = train_speech.train(X=X, y=y, epochs=4, batch_size=16,
+                                     models_dir=m2, verbose=False,
+                                     checkpoint_path=ckpt, resume=True)
+    assert len(hist2['val_acc']) == 4          # 2 restored + 2 new
+    assert hist2['val_acc'][:2] == hist1['val_acc']
