@@ -58,3 +58,24 @@ def test_download_degrades_without_kaggle(monkeypatch, tmp_path):
     from mec_tpu.datasets import download
     monkeypatch.setattr(download.shutil, 'which', lambda _x: None)
     assert download.download_dataset(dest=str(tmp_path)) is False
+
+
+def test_convert_cli(tmp_path):
+    """python -m mec_tpu.convert turns a reference .pt into .mecp."""
+    import torch
+
+    from mec_tpu.convert.__main__ import convert_all
+    from mec_tpu.convert import store
+    from tests.torch_oracles import OracleFusionModel
+
+    torch.manual_seed(0)
+    oracle = OracleFusionModel().eval()
+    torch.save({'model_state_dict': oracle.state_dict(),
+                'config': {'speech_dim': 64, 'text_dim': 768,
+                           'image_dim': 512, 'num_classes': 7,
+                           'hidden_dim': 256}},
+               tmp_path / 'fusion_model.pt')
+    n = convert_all(str(tmp_path))
+    assert n == 1
+    loaded = store.load_params(str(tmp_path / 'fusion_model.mecp'))
+    assert loaded['meta']['config']['speech_dim'] == 64
