@@ -19,15 +19,26 @@ from mec_tpu.config import Config
 
 def detect_face(image_path: str):
     """Haar-cascade frontal-face crop with full-image fallback
-    (reference image_preprocessing.py:12-23). Returns BGR ndarray or None."""
+    (reference image_preprocessing.py:12-23). Returns BGR ndarray or None.
+
+    When the installed OpenCV build lacks the objdetect cascade (e.g.
+    minimal cv2 5.x), the no-face-found fallback applies: the full image
+    is returned — the same observable behavior the reference exhibits on
+    images with no detectable face. Detection is preprocessing-API-only;
+    the serving path never crops (reference image_inference.py:28-32)."""
     import cv2
     image = cv2.imread(image_path)
     if image is None:
         return None
-    gray = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
-    cascade = cv2.CascadeClassifier(
-        cv2.data.haarcascades + 'haarcascade_frontalface_default.xml')
-    faces = cascade.detectMultiScale(gray, 1.3, 5)
+    if not hasattr(cv2, 'CascadeClassifier'):
+        return image
+    try:
+        gray = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
+        cascade = cv2.CascadeClassifier(
+            cv2.data.haarcascades + 'haarcascade_frontalface_default.xml')
+        faces = cascade.detectMultiScale(gray, 1.3, 5)
+    except cv2.error:
+        return image
     if len(faces) == 0:
         return image
     x, y, w, h = faces[0]

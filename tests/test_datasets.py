@@ -1,6 +1,7 @@
 """Dataset organizer tests (the reference ships organize_datasets.py with
 no tests; SURVEY.md §4)."""
 
+import pytest
 from pathlib import Path
 
 from mec_tpu.datasets import organize
@@ -79,3 +80,23 @@ def test_convert_cli(tmp_path):
     assert n == 1
     loaded = store.load_params(str(tmp_path / 'fusion_model.mecp'))
     assert loaded['meta']['config']['speech_dim'] == 64
+
+
+def test_image_preprocessing_public_api(tmp_path):
+    """Reference preprocessing API: detect_face + preprocess_image shapes
+    (reference tests/test_preprocessing.py:119-159). Works with or without
+    an OpenCV build that has the Haar cascade module."""
+    cv2 = pytest.importorskip('cv2')
+    import numpy as np
+    from mec_tpu.preprocessing.image_preprocessing import (detect_face,
+                                                           preprocess_image)
+    p = str(tmp_path / 'img.jpg')
+    cv2.imwrite(p, np.random.RandomState(0).randint(
+        0, 255, (120, 160, 3), np.uint8))
+    face = detect_face(p)
+    assert face is not None and face.ndim == 3
+    out = preprocess_image(p)
+    assert out.shape == (1, 224, 224, 3)
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    assert detect_face(str(tmp_path / 'missing.jpg')) is None
