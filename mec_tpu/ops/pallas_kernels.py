@@ -7,7 +7,9 @@ into the 5-block speech DNN forward pass"):
   1. dft_power_kernel  — framed+windowed signal -> power & magnitude
      spectrograms. The DFT is expressed as two matmuls against cos/sin
      bases (K=2048 contraction): at this size a matmul DFT rides the MXU
-     at full rate, whereas XLA's generic FFT lowering does not.
+     at full rate, whereas XLA's generic FFT lowering does not (the
+     GEMM-native NDFT audio-frontend formulation, cf. MelT,
+     arxiv 2606.01009).
   2. mfcc_kernel       — power spectrogram -> time-averaged MFCCs: mel
      projection, per-clip dB conversion (max over the whole spectrogram),
      orthonormal DCT-II, and the time mean — one VMEM-resident pass per
