@@ -403,16 +403,32 @@ class EmotionEngine:
         self._spectral_jit = jax.jit(af.spectral_features_4)
 
     def warmup(self, buckets: Sequence[int] = (1,)) -> None:
-        """Compile the serving graphs ahead of traffic."""
+        """Compile the serving graphs ahead of traffic (exactly the
+        padded/placed shapes the predict paths dispatch, including the
+        fused tri-modal graph when all models are live)."""
+        all_live = (self.fusion is not None and self.speech is not None
+                    and self.bert is not None and self.image is not None)
         for b in buckets:
+            b = self._bucket(b)
+            waves = np.zeros((b, af.N_SAMPLES), np.float32)
+            ids = np.zeros((b, Config.MAX_TEXT_LENGTH), np.int32)
+            imgs = np.zeros((b, 224, 224, 3), np.uint8)
             if self.speech:
-                self._run_speech(np.zeros((b, af.N_SAMPLES), np.float32))
+                self._run_speech(waves)
             if self.bert:
-                ids = np.zeros((b, Config.MAX_TEXT_LENGTH), np.int32)
-                self._bert_jit(self.bert['variables'], ids, ids)
+                self._bert_jit(self.bert['variables'],
+                               self._place(ids), self._place(ids))
             if self.image:
-                self._image_jit(self.image['variables'],
-                                np.zeros((b, 224, 224, 3), np.uint8))
+                self._image_jit(self.image['variables'], self._place(imgs))
+            if self.lstm:
+                self._lstm_jit(self.lstm['variables'], self._place(ids))
+            if all_live:
+                self._trimodal_jit(
+                    self.speech['variables'], self.speech['scaler'],
+                    self.bert['variables'], self.image['variables'],
+                    self.fusion['variables'],
+                    self._place(self._wire_waves(waves)), self._place(ids),
+                    self._place(ids), self._place(imgs))
 
     # ------------------------------------------------------------------
     # per-modality prediction (batched, fallback-laddered)

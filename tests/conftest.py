@@ -21,6 +21,10 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 # Parity tests compare against fp32 oracles.
 os.environ.setdefault("MEC_COMPUTE_DTYPE", "float32")
+# No persistent compile cache in tests: CPU AOT results are machine-
+# feature-specific and the suite's virtual-mesh shapes would pollute the
+# serving cache.
+os.environ["MEC_JAX_CACHE_DIR"] = ""
 # Keep the default database (trainer metric records etc.) out of the repo.
 import tempfile  # noqa: E402
 os.environ.setdefault(
