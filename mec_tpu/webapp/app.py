@@ -134,6 +134,7 @@ class EmotionApp:
         self._engine = engine
         self._batcher = None
         self._models_dir = models_dir
+        self._init_lock = __import__('threading').Lock()
         self.limiter = ratelimit.RateLimiter(enabled=not testing)
         self.log = setup_logging()
         self.jinja = Environment(
@@ -146,8 +147,10 @@ class EmotionApp:
     @property
     def engine(self):
         if self._engine is None:
-            from mec_tpu.serving.engine import get_engine
-            self._engine = get_engine(models_dir=self._models_dir)
+            with self._init_lock:
+                if self._engine is None:
+                    from mec_tpu.serving.engine import get_engine
+                    self._engine = get_engine(models_dir=self._models_dir)
         return self._engine
 
     @property
@@ -155,8 +158,11 @@ class EmotionApp:
         """Micro-batching queues: concurrent requests coalesce into one
         device dispatch (mec_tpu.serving.batcher)."""
         if self._batcher is None:
-            from mec_tpu.serving.batcher import EngineBatcher
-            self._batcher = EngineBatcher(self.engine)
+            engine = self.engine  # resolve outside the lock (slow load)
+            with self._init_lock:
+                if self._batcher is None:
+                    from mec_tpu.serving.batcher import EngineBatcher
+                    self._batcher = EngineBatcher(engine)
         return self._batcher
 
     # ------------------------------------------------------------------
