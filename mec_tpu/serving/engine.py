@@ -344,8 +344,13 @@ class EmotionEngine:
         from mec_tpu.ops import pallas_kernels as pk
         use_pallas = (Config.USE_PALLAS and pk.on_tpu()
                       and self.compute_dtype == jnp.bfloat16)
-        dnn_pallas = (pk.make_speech_dnn_pallas(self.speech['variables'])
-                      if use_pallas and self.speech is not None else None)
+        dnn_pallas = None
+        if use_pallas and self.speech is not None:
+            try:
+                dnn_pallas = pk.make_speech_dnn_pallas(
+                    self.speech['variables'])
+            except Exception as e:  # degrade to the XLA forward
+                log.warning('pallas DNN unavailable: %s', e)
 
         def speech_fwd(variables, scaler, waves):
             feats = af.audio_features_56(_decode_waves(waves),
