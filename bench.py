@@ -118,11 +118,32 @@ def run_bench():
         engine.predict_multimodal(wav_path, text, img_path)
         lat.append((time.perf_counter() - t0) * 1000)
     p50 = float(np.median(lat))
-    return throughput, p50
+
+    # optional per-modality configs (BASELINE.json's five configurations)
+    per_config = {}
+    if os.environ.get('MEC_BENCH_ALL'):
+        def rate(fn, n=6):
+            fn()  # compile
+            t0 = time.perf_counter()
+            for _ in range(n):
+                fn()
+            return round(BATCH * n / (time.perf_counter() - t0), 1)
+
+        wavs = [wav_path] * BATCH
+        texts = [text] * BATCH
+        imgs = [img_path] * BATCH
+        per_config = {
+            'speech_only': rate(lambda: engine.predict_speech_paths(wavs)),
+            'text_bert': rate(lambda: engine.predict_texts(texts)),
+            'text_lstm': rate(lambda: engine.predict_texts_lstm(texts)),
+            'image_only': rate(
+                lambda: engine.predict_image_paths(imgs)),
+        }
+    return throughput, p50, per_config
 
 
 def main():
-    throughput, p50 = run_bench()
+    throughput, p50, per_config = run_bench()
     if MODE == 'cpu':
         print(json.dumps({'cpu_preds_per_sec': throughput,
                           'cpu_p50_ms': p50}))
@@ -146,7 +167,7 @@ def main():
         pass
 
     vs = round(throughput / cpu_tp, 2) if cpu_tp else None
-    print(json.dumps({
+    result = {
         'metric': 'tri-modal predictions/sec/chip',
         'value': round(throughput, 1),
         'unit': 'preds/s',
@@ -155,7 +176,10 @@ def main():
         'batch': BATCH,
         'cpu_baseline_preds_per_sec': (round(cpu_tp, 1)
                                        if cpu_tp else None),
-    }))
+    }
+    if per_config:
+        result['per_modality_preds_per_sec'] = per_config
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':
