@@ -485,8 +485,22 @@ class EmotionEngine:
 
     def predict_speech_paths(self, paths: Sequence[str],
                              want_features: bool = False) -> List[Dict]:
-        waves = np.stack([wav.load_and_fix_length(p)[0] for p in paths])
-        return self.predict_speech_waves(waves, want_features)
+        waves = np.zeros((len(paths), af.N_SAMPLES), np.float32)
+        decoded = np.ones(len(paths), bool)
+        for i, p in enumerate(paths):
+            try:
+                waves[i] = wav.load_and_fix_length(p)[0]
+            except Exception as e:  # degrade-don't-fail: undecodable ->
+                log.warning('audio decode failed for %s: %s', p, e)
+                decoded[i] = False
+        out = self.predict_speech_waves(waves, want_features)
+        for i, ok in enumerate(decoded):
+            if not ok:
+                probs = heuristic_probs('neutral')
+                out[i] = {'emotion': 'neutral',
+                          'confidence': float(max(probs)),
+                          'all_probabilities': probs, '_fallback': True}
+        return out
 
     def text_keyword_heuristic(self, text: str) -> Dict[str, Any]:
         """Keyword-map fallback (reference text_inference.py:53-70)."""
