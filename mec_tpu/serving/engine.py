@@ -315,6 +315,7 @@ class EmotionEngine:
         if self.lstm is not None:
             p = self.lstm['variables']['params']
             lstm_model = BiLSTMTextModel(
+                dtype=self.compute_dtype,
                 vocab_size=p['embedding']['embedding'].shape[0],
                 embed_dim=p['embedding']['embedding'].shape[1],
                 lstm_units=(
