@@ -97,10 +97,14 @@ def run_bench():
     from concurrent.futures import ThreadPoolExecutor
     workers = int(os.environ.get('MEC_BENCH_WORKERS', '4'))
     windows = int(os.environ.get('MEC_BENCH_WINDOWS',
-                                 '3' if MODE == 'tpu' else '1'))
+                                 '4' if MODE == 'tpu' else '1'))
+    gap = float(os.environ.get('MEC_BENCH_WINDOW_SLEEP',
+                               '15' if MODE == 'tpu' else '0'))
     throughput = 0.0
     with ThreadPoolExecutor(workers) as pool:
-        for _ in range(windows):
+        for w in range(windows):
+            if w and gap:
+                time.sleep(gap)  # tunnel phases change over ~minutes
             t0 = time.perf_counter()
             futs = [pool.submit(engine.predict_multimodal_batch, requests)
                     for _ in range(iters)]
