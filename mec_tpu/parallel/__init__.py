@@ -19,6 +19,7 @@ from mec_tpu.parallel.mesh import (
     shard_batch,
     local_mesh_shape,
 )
+from mec_tpu.parallel.distributed import initialize_multi_host
 from mec_tpu.parallel.partition import (
     bert_partition_rules,
     partition_spec_for,
@@ -28,5 +29,5 @@ from mec_tpu.parallel.partition import (
 __all__ = [
     'make_mesh', 'batch_sharding', 'replicated', 'shard_batch',
     'local_mesh_shape', 'bert_partition_rules', 'partition_spec_for',
-    'shard_variables',
+    'shard_variables', 'initialize_multi_host',
 ]

@@ -67,3 +67,31 @@ def test_replicated_sharding():
     mesh = make_mesh(data=8, model=1)
     x = jax.device_put(np.ones((4, 4), np.float32), replicated(mesh))
     assert x.sharding.spec == P()
+
+
+def test_initialize_multi_host_plumbing(monkeypatch):
+    """Arg/env resolution for jax.distributed.initialize (no cluster in
+    tests — the call itself is captured)."""
+    from mec_tpu.parallel import distributed
+
+    calls = {}
+
+    class FakeDistributed:
+        @staticmethod
+        def initialize(**kw):
+            calls.update(kw)
+
+    monkeypatch.setattr(jax, 'distributed', FakeDistributed)
+    for var in ('MEC_COORDINATOR_ADDRESS', 'TPU_WORKER_HOSTNAMES',
+                'MEGASCALE_COORDINATOR_ADDRESS'):
+        monkeypatch.delenv(var, raising=False)
+    # nothing configured -> single-process no-op
+    assert distributed.initialize_multi_host() is False
+    assert calls == {}
+    # env-driven
+    monkeypatch.setenv('MEC_COORDINATOR_ADDRESS', 'host0:1234')
+    monkeypatch.setenv('MEC_NUM_PROCESSES', '4')
+    monkeypatch.setenv('MEC_PROCESS_ID', '2')
+    assert distributed.initialize_multi_host() is True
+    assert calls == {'coordinator_address': 'host0:1234',
+                     'num_processes': 4, 'process_id': 2}
