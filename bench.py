@@ -34,7 +34,7 @@ import numpy as np  # noqa: E402
 
 BATCH = int(os.environ.get('MEC_BENCH_BATCH', '32'))
 TPU_ITERS = int(os.environ.get('MEC_BENCH_ITERS', '12'))
-CPU_ITERS = int(os.environ.get('MEC_BENCH_CPU_ITERS', '2'))
+CPU_ITERS = int(os.environ.get('MEC_BENCH_CPU_ITERS', '3'))
 LATENCY_REPS = int(os.environ.get('MEC_BENCH_LATENCY_REPS', '30'))
 
 
@@ -97,7 +97,7 @@ def run_bench():
     from concurrent.futures import ThreadPoolExecutor
     workers = int(os.environ.get('MEC_BENCH_WORKERS', '4'))
     windows = int(os.environ.get('MEC_BENCH_WINDOWS',
-                                 '4' if MODE == 'tpu' else '1'))
+                                 '4' if MODE == 'tpu' else '2'))
     gap = float(os.environ.get('MEC_BENCH_WINDOW_SLEEP',
                                '15' if MODE == 'tpu' else '0'))
     throughput = 0.0
