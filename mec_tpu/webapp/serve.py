@@ -39,11 +39,10 @@ def main(argv=None):
                processes=1, use_reloader=False)
 
 
-application = None  # created lazily for WSGI servers: use make_wsgi_app()
-
-
 def make_wsgi_app():
-    """WSGI factory (parity with reference wsgi.py)."""
+    """WSGI factory (parity with reference wsgi.py); e.g.
+    `gunicorn 'mec_tpu.webapp.serve:make_wsgi_app()' --threads 8 -w 1`
+    (ONE worker: the process owns the TPU)."""
     return create_app()
 
 
