@@ -126,7 +126,7 @@ def run_bench():
         engine.predict_multimodal(wav_path, text, img_path)
         lat.append((time.perf_counter() - t0) * 1000)
     p50 = float(np.median(lat))
-    batch1_rate = 1000.0 / p50
+    batch1_rate = 1000.0 / p50  # reference-design baseline in CPU mode
 
     # optional per-modality configs (BASELINE.json's five configurations)
     per_config = {}
@@ -148,11 +148,11 @@ def run_bench():
             'image_only': rate(
                 lambda: engine.predict_image_paths(imgs)),
         }
-    return throughput, p50, per_config
+    return throughput, p50, batch1_rate, per_config
 
 
 def main():
-    throughput, p50, per_config = run_bench()
+    throughput, p50, batch1_rate, per_config = run_bench()
     if MODE == 'cpu':
         print(json.dumps({'cpu_batch1_preds_per_sec': batch1_rate,
                           'cpu_batched_preds_per_sec': throughput,
