@@ -117,6 +117,33 @@ def run_bench():
             throughput = max(throughput, BATCH * iters / dt)
     assert 'fusion' in out[0] and 'attention_weights' in out[0]['fusion']
 
+    # Device-step rate: amortized time of the fused tri-modal graph with
+    # inputs already on device (N async dispatches, one sync). This is
+    # the chip's capability independent of the dev tunnel's host<->device
+    # bandwidth, which here swings 12-75 MB/s across hours.
+    device_rate = None
+    if MODE == 'tpu':
+        import jax
+        from mec_tpu.config import Config
+        from mec_tpu.image.preprocess import load_image_uint8
+        from mec_tpu.ops import wav as wav_ops
+        waves = engine._wire_waves(np.repeat(
+            wav_ops.load_and_fix_length(wav_path)[0][None], BATCH, 0))
+        ids, mask = engine.bert_tokenizer.encode_batch(
+            [text] * BATCH, Config.MAX_TEXT_LENGTH)
+        img = np.repeat(load_image_uint8(img_path)[None], BATCH, 0)
+        dargs = [jax.device_put(x) for x in (waves, ids, mask, img)]
+        margs = (engine.speech['variables'], engine.speech['scaler'],
+                 engine.bert['variables'], engine.image['variables'],
+                 engine.fusion['variables'])
+        _ = np.asarray(engine._trimodal_jit(*margs, *dargs))
+        N = 40
+        t0 = time.perf_counter()
+        for _ in range(N):
+            out_d = engine._trimodal_jit(*margs, *dargs)
+        _ = np.asarray(out_d)
+        device_rate = BATCH * N / (time.perf_counter() - t0)
+
     # single-request p50 latency; in CPU mode the same loop IS the
     # reference-design baseline (batch-1, sequential)
     engine.predict_multimodal(wav_path, text, img_path)  # bucket-1 compile
@@ -148,11 +175,11 @@ def run_bench():
             'image_only': rate(
                 lambda: engine.predict_image_paths(imgs)),
         }
-    return throughput, p50, batch1_rate, per_config
+    return throughput, p50, batch1_rate, device_rate, per_config
 
 
 def main():
-    throughput, p50, batch1_rate, per_config = run_bench()
+    throughput, p50, batch1_rate, device_rate, per_config = run_bench()
     if MODE == 'cpu':
         print(json.dumps({'cpu_batch1_preds_per_sec': batch1_rate,
                           'cpu_batched_preds_per_sec': throughput,
@@ -189,6 +216,8 @@ def main():
                                               if cpu_b1 else None),
         'cpu_batched_preds_per_sec': (round(cpu_batched, 1)
                                       if cpu_batched else None),
+        'device_step_preds_per_sec': (round(device_rate, 1)
+                                      if device_rate else None),
     }
     if per_config:
         result['per_modality_preds_per_sec'] = per_config
