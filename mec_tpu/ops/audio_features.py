@@ -385,6 +385,10 @@ def audio_features_56(y: jnp.ndarray, use_pallas: bool = False
     else:
         mag, P = stft_spectrograms(y)
         mfcc = mfcc_mean_from_power(P)
+    # Tuning estimation stays on the XLA path in BOTH modes: a fused
+    # per-clip Pallas kernel measured 2.31 ms vs XLA's 1.43 ms at batch 32
+    # (grid cells serialize per-clip fori_loops; XLA batches the median
+    # search + histogram across clips) — see ROADMAP.md item 5.
     chroma = chroma_mean_from_power(P)
     zcr = zcr_mean(y)
     centroid = spectral_centroid_mean(mag)

@@ -47,6 +47,12 @@ def test_mfcc_kernel_matches_xla(spectrograms):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def test_tuning_quiet_clip():
+    # all-zero spectrogram -> no pitch candidates -> tuning 0.0
+    P = jnp.zeros((1, af.N_FRAMES, af.N_BINS), jnp.float32)
+    assert float(af.estimate_tuning_from_power(P)[0]) == 0.0
+
+
 def test_full_frontend_pallas_path(waves):
     ref = af.audio_features_56(jnp.asarray(waves))
     out = af.audio_features_56(jnp.asarray(waves), use_pallas=True)
