@@ -112,6 +112,12 @@ class Config:
     # off or when running on CPU).
     USE_PALLAS = _env_flag('MEC_USE_PALLAS', True)
 
+    # Compressed host->device wire formats in perf mode (8-bit mu-law
+    # audio, YUV 4:2:0 images, expanded on device). Serving is
+    # upload-bandwidth-bound, so this is ~2x end-to-end throughput; off
+    # ships PCM16 audio + raw uint8 RGB. See mec_tpu.serving.wire.
+    WIRE_COMPRESS = _env_flag('MEC_WIRE_COMPRESS', True)
+
     # Mesh axis sizes for multi-chip deployment; 'auto' uses all local
     # devices on the data axis. See mec_tpu.parallel.mesh.
     MESH_DATA = os.environ.get('MEC_MESH_DATA', 'auto')

@@ -47,6 +47,7 @@ from mec_tpu.models.resnet import ImageEmotionModel
 from mec_tpu.models.speech_dnn import SpeechDNN
 from mec_tpu.ops import audio_features as af
 from mec_tpu.ops import wav
+from mec_tpu.serving import wire
 from mec_tpu.image.preprocess import IMAGENET_MEAN, IMAGENET_STD
 from mec_tpu.text.cleaning import clean_text
 from mec_tpu.text.keras_tokenizer import KerasTokenizer
@@ -333,10 +334,21 @@ class EmotionEngine:
         # device link each fetched array pays a full round trip (~30 ms on
         # the axon tunnel); packing makes any result exactly one fetch.
         def _decode_waves(waves):
-            # int16 wire format (perf mode): dequantize on device
+            # compressed wire formats (perf mode), expanded on device:
+            # tuple = packed 12-bit PCM + per-clip scale, int16 = PCM16
+            # (see serving/wire.py)
+            if isinstance(waves, (tuple, list)):
+                return wire.decode_pcm12(*waves)
             if waves.dtype == jnp.int16:
                 return waves.astype(jnp.float32) / 32768.0
             return waves
+
+        def _decode_image(img):
+            # tuple = YUV 4:2:0 wire format; array = raw uint8 RGB.
+            # Both decode to float32 RGB in [0, 255].
+            if isinstance(img, (tuple, list)):
+                return wire.decode_yuv420(*img)
+            return img.astype(jnp.float32)
 
         # Perf mode on TPU routes the speech path through the fused Mosaic
         # kernels (DFT-matmul spectrogram, mel->dB->DCT MFCC, whole-DNN
@@ -374,8 +386,8 @@ class EmotionEngine:
             probs, _pen = lstm_model.apply(variables, ids)
             return probs
 
-        def image_fwd(variables, img_u8):
-            x = img_u8.astype(jnp.float32) / 255.0
+        def image_fwd(variables, img_wire):
+            x = _decode_image(img_wire) / 255.0
             x = (x - mean) / std
             logits, feat = image_model.apply(variables, x)
             probs = jax.nn.softmax(logits, axis=-1)
@@ -387,14 +399,14 @@ class EmotionEngine:
             probs = jax.nn.softmax(logits, axis=-1)
             return jnp.concatenate([probs, aw, dw], axis=-1)  # (B, 7+3+3)
 
-        def trimodal_fwd(sv, scaler, bv, iv, fv, waves, ids, mask, img_u8):
+        def trimodal_fwd(sv, scaler, bv, iv, fv, waves, ids, mask, img_wire):
             """One traced graph: 3 encoders (single pass each) + fusion,
             packed into a single (B, 7+7+7+13) output = one fetch."""
             s = speech_fwd(sv, scaler, waves)
             s_probs, s_pen = s[:, :7], s[:, 7:]
             t = bert_fwd(bv, ids, mask)
             t_probs, cls = t[:, :7], t[:, 7:]
-            im = image_fwd(iv, img_u8)
+            im = image_fwd(iv, img_wire)
             i_probs, i_feat = im[:, :7], im[:, 7:]
             f = fusion_fwd(fv, s_pen, cls, i_feat,
                            s_probs, t_probs, i_probs)
@@ -425,7 +437,8 @@ class EmotionEngine:
                 self._bert_jit(self.bert['variables'],
                                self._place(ids), self._place(ids))
             if self.image:
-                self._image_jit(self.image['variables'], self._place(imgs))
+                self._image_jit(self.image['variables'],
+                                self._place(self._wire_image(imgs, b)))
             if self.lstm:
                 self._lstm_jit(self.lstm['variables'], self._place(ids))
             if all_live:
@@ -433,25 +446,45 @@ class EmotionEngine:
                     self.speech['variables'], self.speech['scaler'],
                     self.bert['variables'], self.image['variables'],
                     self.fusion['variables'],
-                    self._place(self._wire_waves(waves)), self._place(ids),
-                    self._place(ids), self._place(imgs))
+                    self._place(self._wire_waves(waves, b)), self._place(ids),
+                    self._place(ids), self._place(self._wire_image(imgs, b)))
 
     # ------------------------------------------------------------------
     # per-modality prediction (batched, fallback-laddered)
     # ------------------------------------------------------------------
-    def _wire_waves(self, waves: np.ndarray) -> np.ndarray:
-        """Perf mode ships PCM16 (half the bytes over the device link;
-        WAV sources are 16-bit anyway). Parity mode ships float32."""
+    @property
+    def _compress(self) -> bool:
+        return (self.compute_dtype == jnp.bfloat16
+                and bool(Config.WIRE_COMPRESS))
+
+    def _wire_waves(self, waves: np.ndarray, bucket: int):
+        """Perf mode ships packed 12-bit PCM with a per-clip scale
+        (37.5% of the float32 bytes over the device link, measured
+        feature-transparent — see serving/wire.py for why 8-bit is not)
+        or PCM16 with MEC_WIRE_COMPRESS=0; parity mode ships float32.
+        Expanded on device by _decode_waves. Row-padded to the bucket."""
+        if self._compress:
+            packed, scale = wire.encode_pcm12(waves)
+            return (_pad_rows(packed, bucket), _pad_rows(scale, bucket))
         if self.compute_dtype == jnp.bfloat16:
-            return np.clip(np.rint(waves * 32768.0),
-                           -32768, 32767).astype(np.int16)
-        return waves
+            pcm = np.clip(np.rint(waves * 32768.0),
+                          -32768, 32767).astype(np.int16)
+            return _pad_rows(pcm, bucket)
+        return _pad_rows(waves, bucket)
+
+    def _wire_image(self, imgs: np.ndarray, bucket: int):
+        """Perf mode ships YUV 4:2:0 (half the uint8 RGB bytes); parity
+        mode ships raw uint8. Row-padded to the dispatch bucket."""
+        if self._compress:
+            y8, uv8 = wire.encode_yuv420(imgs)
+            return (_pad_rows(y8, bucket), _pad_rows(uv8, bucket))
+        return _pad_rows(imgs, bucket)
 
     def _run_speech(self, waves: np.ndarray):
         b = self._bucket(waves.shape[0])
         packed = np.asarray(self._speech_jit(
             self.speech['variables'], self.speech['scaler'],
-            self._place(_pad_rows(self._wire_waves(waves), b))
+            self._place(self._wire_waves(waves, b))
             ))[:waves.shape[0]]
         return packed[:, :7], packed[:, 7:]
 
@@ -566,7 +599,7 @@ class EmotionEngine:
         b = self._bucket(imgs_u8.shape[0])
         packed = np.asarray(self._image_jit(
             self.image['variables'],
-            self._place(_pad_rows(imgs_u8, b))))[:imgs_u8.shape[0]]
+            self._place(self._wire_image(imgs_u8, b))))[:imgs_u8.shape[0]]
         probs, feat = packed[:, :7], packed[:, 7:]
         out = []
         for i in range(imgs_u8.shape[0]):
@@ -680,10 +713,10 @@ class EmotionEngine:
             self.speech['variables'], self.speech['scaler'],
             self.bert['variables'], self.image['variables'],
             self.fusion['variables'],
-            self._place(_pad_rows(self._wire_waves(waves), b)),
+            self._place(self._wire_waves(waves, b)),
             self._place(_pad_rows(ids, b)),
             self._place(_pad_rows(mask, b)),
-            self._place(_pad_rows(img, b))))[0]
+            self._place(self._wire_image(img, b))))[0]
         return {
             'speech': result_dict(packed[:7]),
             'text': result_dict(packed[7:14]),
@@ -716,10 +749,10 @@ class EmotionEngine:
                 self.speech['variables'], self.speech['scaler'],
                 self.bert['variables'], self.image['variables'],
                 self.fusion['variables'],
-                self._place(_pad_rows(self._wire_waves(waves), b)),
+                self._place(self._wire_waves(waves, b)),
                 self._place(_pad_rows(ids, b)),
                 self._place(_pad_rows(mask, b)),
-                self._place(_pad_rows(imgs, b))))
+                self._place(self._wire_image(imgs, b))))
             for j, i in enumerate(full_idx):
                 row = packed[j]
                 out[i] = {

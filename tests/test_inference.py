@@ -276,3 +276,57 @@ class TestLiveServing:
         feat, pred = SpeechInference().extract_features(
             _tone_wav(tmp_path, 'x.wav'))
         assert feat.shape == (64,) and pred.shape == (7,)
+
+
+class TestWireServing:
+    """Perf-mode wire compression (mu-law audio + YUV 4:2:0 image) must
+    not flip decisions vs the fp32 parity engine on the same artifacts."""
+
+    @pytest.fixture()
+    def bf16_engine(self, artifacts_dir):
+        from mec_tpu.config import Config
+        from mec_tpu.serving import engine as eng
+        old = Config.COMPUTE_DTYPE
+        Config.COMPUTE_DTYPE = 'bfloat16'
+        assert Config.WIRE_COMPRESS  # default-on in perf mode
+        try:
+            yield eng.EmotionEngine(models_dir=artifacts_dir)
+        finally:
+            Config.COMPUTE_DTYPE = old
+
+    def test_trimodal_wire_decisions_match_fp32(self, live_engine,
+                                                bf16_engine, tmp_path):
+        from PIL import Image
+        audio = _tone_wav(tmp_path, 'wire.wav', rms_target=0.05, freq=330)
+        img_p = str(tmp_path / 'wire.png')
+        rng = np.random.RandomState(5)
+        luma = rng.randint(40, 200, (96, 96, 1)).astype(np.uint8)
+        Image.fromarray(np.repeat(luma, 3, axis=-1)).save(img_p)
+        text = 'i am so happy today'
+
+        ref = live_engine.predict_multimodal(audio, text, img_p)
+        out = bf16_engine.predict_multimodal(audio, text, img_p)
+        for mod in ('speech', 'text', 'image', 'fusion'):
+            pa = np.asarray(ref[mod]['all_probabilities'])
+            pb = np.asarray(out[mod]['all_probabilities'])
+            np.testing.assert_allclose(pa, pb, atol=0.05)
+            if ref[mod]['confidence'] > 0.6:
+                assert ref[mod]['emotion'] == out[mod]['emotion'], mod
+
+    def test_image_wire_vs_raw_same_engine(self, bf16_engine):
+        """YUV wire path vs raw path, same bf16 weights: only the codec
+        differs, so probabilities must be close on any input."""
+        from mec_tpu.config import Config
+        imgs = np.random.RandomState(7).randint(
+            0, 256, (2, 224, 224, 3), dtype=np.uint8)
+        wired = bf16_engine.predict_images(imgs)
+        old = Config.WIRE_COMPRESS
+        Config.WIRE_COMPRESS = False
+        try:
+            raw = bf16_engine.predict_images(imgs)
+        finally:
+            Config.WIRE_COMPRESS = old
+        for a, b in zip(wired, raw):
+            np.testing.assert_allclose(
+                np.asarray(a['all_probabilities']),
+                np.asarray(b['all_probabilities']), atol=0.06)

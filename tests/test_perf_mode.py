@@ -1,4 +1,5 @@
-"""Perf-mode (bfloat16 + PCM16 wire) vs parity-mode (float32) consistency.
+"""Perf-mode (bfloat16 + compressed wire) vs parity-mode (float32)
+consistency.
 
 The serving perf path trades exact logit parity for MXU rate; this pins
 the contract: on confidently-classified inputs the predicted emotion must
