@@ -191,3 +191,70 @@ def test_api_metrics(client):
     r = client.get('/api/metrics')
     assert r.status_code == 200
     assert 'stages' in r.json
+
+
+def test_rate_limiter_sliding_window(monkeypatch):
+    """Pin the reference's Flask-Limiter semantics (reference
+    app.py:63-75,130,156): N requests pass, N+1 inside the window is
+    denied, and the window actually slides."""
+    from mec_tpu.webapp import ratelimit
+    now = [1000.0]
+    monkeypatch.setattr(ratelimit.time, 'time', lambda: now[0])
+    rl = ratelimit.RateLimiter(enabled=True)
+
+    # login: 5 per 15 min
+    assert all(rl.allow('login:1.2.3.4', ratelimit.LOGIN_RULES)
+               for _ in range(5))
+    assert not rl.allow('login:1.2.3.4', ratelimit.LOGIN_RULES)
+    assert rl.allow('login:9.9.9.9', ratelimit.LOGIN_RULES)  # per-key
+    now[0] += 900.1                        # window slides
+    assert rl.allow('login:1.2.3.4', ratelimit.LOGIN_RULES)
+
+    # multi-rule default: hourly cap trips before the daily cap
+    for _ in range(50):
+        assert rl.allow('d', ratelimit.DEFAULT_RULES)
+    assert not rl.allow('d', ratelimit.DEFAULT_RULES)
+    now[0] += 3600.1
+    assert rl.allow('d', ratelimit.DEFAULT_RULES)
+
+    rl.reset()
+    assert rl.allow('login:1.2.3.4', ratelimit.LOGIN_RULES)
+
+    assert ratelimit.RateLimiter(enabled=False).allow('x') is True
+
+
+def test_register_rate_limited(tmp_path):
+    """With limiting enabled, the 4th register attempt from one address
+    is rejected (reference app.py:130: '3 per hour')."""
+    db = Database(str(tmp_path / 'rl.db'))
+    app = create_app(db=db, testing=True)
+    app.limiter.enabled = True
+    c = Client(app)
+    for i in range(3):
+        c.post('/register', data={'username': f'u{i}',
+                                  'email': f'u{i}@example.com',
+                                  'password': 'password123'})
+        c.get('/logout')
+    r = c.post('/register', data={'username': 'u4',
+                                  'email': 'u4@example.com',
+                                  'password': 'password123'})
+    assert r.status_code == 429
+
+
+def test_history_filters(logged_in):
+    """/history?emotion=&modality= filter the rendered rows (reference
+    app.py:365-398 exposes the same query params)."""
+    logged_in.post('/api/predict/text', json={'text': 'i am so happy'})
+    logged_in.post('/api/predict/text', json={'text': 'this is sad'})
+    full = logged_in.get('/history').text
+    happy_only = logged_in.get('/history?emotion=happy').text
+    none = logged_in.get('/history?emotion=disgust').text
+    assert full.count('<tr') >= happy_only.count('<tr') >= none.count('<tr')
+    # the emotion-<label> td class marks data rows (the filter dropdown
+    # also mentions every emotion, so match the class, not the word)
+    assert 'emotion-happy' in happy_only
+    assert 'emotion-' not in none
+    modality = logged_in.get('/history?modality=text').text
+    assert modality.count('<tr') == full.count('<tr')
+    assert logged_in.get('/history?modality=image').text.count('<tr') \
+        == none.count('<tr')
