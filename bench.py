@@ -129,8 +129,8 @@ def run_bench():
         from mec_tpu.ops import wav as wav_ops
         waves = engine._wire_waves(np.repeat(
             wav_ops.load_and_fix_length(wav_path)[0][None], BATCH, 0), BATCH)
-        ids, mask = engine.bert_tokenizer.encode_batch(
-            [text] * BATCH, Config.MAX_TEXT_LENGTH)
+        ids, mask = engine._seq_slice(*engine.bert_tokenizer.encode_batch(
+            [text] * BATCH, Config.MAX_TEXT_LENGTH))
         img = engine._wire_image(np.repeat(
             load_image_uint8(img_path)[None], BATCH, 0), BATCH)
         dargs = [jax.device_put(x) for x in (waves, ids, mask, img)]

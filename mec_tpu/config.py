@@ -112,9 +112,19 @@ class Config:
     # off or when running on CPU).
     USE_PALLAS = _env_flag('MEC_USE_PALLAS', True)
 
-    # Compressed host->device wire formats in perf mode (8-bit mu-law
-    # audio, YUV 4:2:0 images, expanded on device). Serving is
-    # upload-bandwidth-bound, so this is ~2x end-to-end throughput; off
+    # Padded sequence-length buckets for BERT dispatch. The reference
+    # pads every text to MAX_TEXT_LENGTH=128; BERT cost is linear in the
+    # padded length and emotion texts are mostly <32 tokens. Slicing to
+    # the smallest covering bucket is exact: padded keys carry an
+    # additive bias of the dtype's min, so their attention weight
+    # underflows to 0.0 and removing them cannot change any logit.
+    SEQ_BUCKETS = tuple(
+        int(x) for x in os.environ.get('MEC_SEQ_BUCKETS', '32,128').split(',')
+        if x.strip())
+
+    # Compressed host->device wire formats in perf mode (packed 12-bit
+    # PCM audio, YUV 4:2:0 images, expanded on device). Serving is
+    # upload-bandwidth-bound: measured 1.29x end-to-end throughput; off
     # ships PCM16 audio + raw uint8 RGB. See mec_tpu.serving.wire.
     WIRE_COMPRESS = _env_flag('MEC_WIRE_COMPRESS', True)
 

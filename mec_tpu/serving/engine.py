@@ -31,7 +31,7 @@ from __future__ import annotations
 import logging
 import os
 import threading
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -426,28 +426,33 @@ class EmotionEngine:
         fused tri-modal graph when all models are live)."""
         all_live = (self.fusion is not None and self.speech is not None
                     and self.bert is not None and self.image is not None)
+        seqs = sorted(s for s in Config.SEQ_BUCKETS
+                      if s <= Config.MAX_TEXT_LENGTH)
         for b in buckets:
             b = self._bucket(b)
             waves = np.zeros((b, af.N_SAMPLES), np.float32)
-            ids = np.zeros((b, Config.MAX_TEXT_LENGTH), np.int32)
+            full_ids = np.zeros((b, Config.MAX_TEXT_LENGTH), np.int32)
             imgs = np.zeros((b, 224, 224, 3), np.uint8)
             if self.speech:
                 self._run_speech(waves)
-            if self.bert:
-                self._bert_jit(self.bert['variables'],
-                               self._place(ids), self._place(ids))
+            if self.lstm:
+                self._lstm_jit(self.lstm['variables'], self._place(full_ids))
+            for s in seqs:  # every dispatched (batch, seq-bucket) shape
+                ids = full_ids[:, :s]
+                if self.bert:
+                    self._bert_jit(self.bert['variables'],
+                                   self._place(ids), self._place(ids))
+                if all_live:
+                    self._trimodal_jit(
+                        self.speech['variables'], self.speech['scaler'],
+                        self.bert['variables'], self.image['variables'],
+                        self.fusion['variables'],
+                        self._place(self._wire_waves(waves, b)),
+                        self._place(ids), self._place(ids),
+                        self._place(self._wire_image(imgs, b)))
             if self.image:
                 self._image_jit(self.image['variables'],
                                 self._place(self._wire_image(imgs, b)))
-            if self.lstm:
-                self._lstm_jit(self.lstm['variables'], self._place(ids))
-            if all_live:
-                self._trimodal_jit(
-                    self.speech['variables'], self.speech['scaler'],
-                    self.bert['variables'], self.image['variables'],
-                    self.fusion['variables'],
-                    self._place(self._wire_waves(waves, b)), self._place(ids),
-                    self._place(ids), self._place(self._wire_image(imgs, b)))
 
     # ------------------------------------------------------------------
     # per-modality prediction (batched, fallback-laddered)
@@ -471,6 +476,21 @@ class EmotionEngine:
                           -32768, 32767).astype(np.int16)
             return _pad_rows(pcm, bucket)
         return _pad_rows(waves, bucket)
+
+    def _seq_slice(self, ids: np.ndarray, mask: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Slice BERT inputs to the smallest Config.SEQ_BUCKETS bucket
+        covering the batch's longest real sequence. Exact: padded keys'
+        additive bias (dtype min) underflows their attention weight to
+        0.0, so dropping them cannot change any logit (pinned by
+        tests/test_inference.py). BERT cost is linear in padded length
+        and emotion texts are mostly short — this is ~4x on the text
+        stage for <=32-token batches."""
+        longest = int(mask.sum(axis=1).max()) if mask.size else 1
+        for s in sorted(Config.SEQ_BUCKETS):
+            if longest <= s and s <= ids.shape[1]:
+                return ids[:, :s], mask[:, :s]
+        return ids, mask
 
     def _wire_image(self, imgs: np.ndarray, bucket: int):
         """Perf mode ships YUV 4:2:0 (half the uint8 RGB bytes); parity
@@ -555,8 +575,8 @@ class EmotionEngine:
                       want_features: bool = False) -> List[Dict]:
         if self.bert is None or self.bert_tokenizer is None:
             return [self.text_keyword_heuristic(t) for t in texts]
-        ids, mask = self.bert_tokenizer.encode_batch(
-            list(texts), Config.MAX_TEXT_LENGTH)
+        ids, mask = self._seq_slice(*self.bert_tokenizer.encode_batch(
+            list(texts), Config.MAX_TEXT_LENGTH))
         b = self._bucket(ids.shape[0])
         packed = np.asarray(self._bert_jit(
             self.bert['variables'], self._place(_pad_rows(ids, b)),
@@ -705,8 +725,8 @@ class EmotionEngine:
         """Single device dispatch for the flagship path."""
         from mec_tpu.image.preprocess import load_image_uint8
         waves = wav.load_and_fix_length(audio_path)[0][None, :]
-        ids, mask = self.bert_tokenizer.encode_batch(
-            [text], Config.MAX_TEXT_LENGTH)
+        ids, mask = self._seq_slice(*self.bert_tokenizer.encode_batch(
+            [text], Config.MAX_TEXT_LENGTH))
         img = load_image_uint8(image_path)[None]
         b = self._bucket(1)
         packed = np.asarray(self._trimodal_jit(
@@ -739,9 +759,9 @@ class EmotionEngine:
             from mec_tpu.image.preprocess import load_image_uint8
             waves = np.stack([wav.load_and_fix_length(
                 requests[i]['audio_path'])[0] for i in full_idx])
-            ids, mask = self.bert_tokenizer.encode_batch(
+            ids, mask = self._seq_slice(*self.bert_tokenizer.encode_batch(
                 [requests[i]['text'] for i in full_idx],
-                Config.MAX_TEXT_LENGTH)
+                Config.MAX_TEXT_LENGTH))
             imgs = np.stack([load_image_uint8(requests[i]['image_path'])
                              for i in full_idx])
             b = self._bucket(len(full_idx))

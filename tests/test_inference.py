@@ -277,6 +277,22 @@ class TestLiveServing:
             _tone_wav(tmp_path, 'x.wav'))
         assert feat.shape == (64,) and pred.shape == (7,)
 
+    def test_bert_seq_bucket_exact(self, live_engine):
+        """Slicing padded BERT inputs to a shorter bucket must not move
+        the logits: padded keys' additive bias (dtype min) underflows
+        their attention weight to exactly 0."""
+        from mec_tpu.config import Config
+        eng = live_engine
+        ids, mask = eng.bert_tokenizer.encode_batch(
+            ['i am so happy today', 'wow'], Config.MAX_TEXT_LENGTH)
+        assert ids.shape[1] == Config.MAX_TEXT_LENGTH
+        full = np.asarray(eng._bert_jit(eng.bert['variables'], ids, mask))
+        s_ids, s_mask = eng._seq_slice(ids, mask)
+        assert s_ids.shape[1] == min(Config.SEQ_BUCKETS)
+        sliced = np.asarray(eng._bert_jit(eng.bert['variables'],
+                                          s_ids, s_mask))
+        np.testing.assert_allclose(sliced, full, atol=1e-6)
+
 
 class TestWireServing:
     """Perf-mode wire compression (mu-law audio + YUV 4:2:0 image) must
