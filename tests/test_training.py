@@ -249,3 +249,23 @@ def test_fit_checkpoint_resume_midrun(tmp_path):
                                      checkpoint_path=ckpt, resume=True)
     assert len(hist2['val_acc']) == 4          # 2 restored + 2 new
     assert hist2['val_acc'][:2] == hist1['val_acc']
+
+
+def test_image_trainer_bf16(models_dir):
+    """--bf16 (bfloat16 compute, float32 params) trains and serves; the
+    saved artifact must still hold float32 params."""
+    import jax
+    import jax.numpy as jnp
+    from mec_tpu.training import train_image
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 255, (14, 64, 64, 3), np.uint8)
+    labels = (np.arange(14) % 7).astype(np.int32)
+    d = os.path.join(models_dir, 'bf16')
+    best, hist = train_image.train(
+        data_root=None, img_size=64, batch_size=8, epochs=2,
+        phase1_epochs=1, imgs=imgs, labels=labels, models_dir=d,
+        verbose=False, bf16=True)
+    assert os.path.exists(os.path.join(d, 'image_model.mecp'))
+    leaves = jax.tree.leaves(best['params'])
+    assert all(x.dtype == jnp.float32 for x in leaves)
+    assert np.isfinite(hist['phase2']['val_acc'][-1])
