@@ -42,6 +42,13 @@ class KerasLSTM(nn.Module):
                                nn.initializers.orthogonal(),
                                (u, 4 * u), self.dtype)
         bias = self.param('bias', nn.initializers.zeros, (4 * u,), self.dtype)
+        # checkpoints store float32 params; cast to the compute dtype at
+        # apply time (the nn.Dense convention) or the scan carry's dtype
+        # would not match the step output's promoted dtype in bf16 mode
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        recurrent = recurrent.astype(self.dtype)
+        bias = bias.astype(self.dtype)
 
         if self.reverse:
             x = x[:, ::-1, :]

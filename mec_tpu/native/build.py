@@ -40,9 +40,12 @@ def load_library(name: str) -> Optional[ctypes.CDLL]:
             so_path = os.path.join(out_dir, f'lib{name}-{digest}.so')
             if not os.path.exists(so_path):
                 tmp = so_path + f'.tmp{os.getpid()}'
+                # -ffp-contract=off: the wire codecs pin float32 numerics
+                # against their numpy references; FMA contraction would
+                # reassociate those expressions on some targets.
                 subprocess.run(
                     ['g++', '-O2', '-shared', '-fPIC', '-std=c++17',
-                     '-pthread', src, '-o', tmp],
+                     '-ffp-contract=off', '-pthread', src, '-o', tmp],
                     check=True, capture_output=True)
                 os.replace(tmp, so_path)
             lib = ctypes.CDLL(so_path)

@@ -9,8 +9,9 @@
 // C++ loops run at memory bandwidth instead.
 //
 // Numerics: same float32 arithmetic and round-half-to-even as the numpy
-// reference implementations (no -ffast-math, -ffp-contract off via
-// explicit expressions); tests/test_wire.py pins cpp==numpy to <=1 code.
+// reference implementations (built with -ffp-contract=off so FMA
+// contraction cannot reassociate the YUV dot products); tests/test_wire.py
+// pins pcm12 cpp==numpy bitwise and yuv420 to <=1 code.
 //
 // Built on demand by mec_tpu/native/build.py (g++ -O2 -shared);
 // loaded via ctypes from mec_tpu/native/wirecodec.py.
@@ -31,11 +32,13 @@ void pcm12_clip(const float* x, int64_t n, uint8_t* out, float* scale_out) {
     float m = 1e-6f;
     for (int64_t i = 0; i < n; ++i) m = std::max(m, std::fabs(x[i]));
     *scale_out = m;
-    const float inv = 1.0f / m;
+    // Divide like the numpy reference (waves / scale * 2047): a
+    // multiply by the reciprocal differs by 1 code whenever scale < 1,
+    // and the test pins bitwise equality.
     // two samples -> three bytes: [u0>>4, (u0&15)<<4 | u1>>8, u1&255]
     for (int64_t i = 0; i < n; i += 2) {
-        float q0 = std::nearbyintf(x[i] * inv * kQ12);
-        float q1 = std::nearbyintf(x[i + 1] * inv * kQ12);
+        float q0 = std::nearbyintf(x[i] / m * kQ12);
+        float q1 = std::nearbyintf(x[i + 1] / m * kQ12);
         uint32_t u0 = (uint32_t)(std::clamp(q0, -kQ12, kQ12) + 2048.0f);
         uint32_t u1 = (uint32_t)(std::clamp(q1, -kQ12, kQ12) + 2048.0f);
         uint8_t* o = out + (i / 2) * 3;

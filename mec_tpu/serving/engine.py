@@ -426,8 +426,13 @@ class EmotionEngine:
         fused tri-modal graph when all models are live)."""
         all_live = (self.fusion is not None and self.speech is not None
                     and self.bert is not None and self.image is not None)
-        seqs = sorted(s for s in Config.SEQ_BUCKETS
-                      if s <= Config.MAX_TEXT_LENGTH)
+        # every seq bucket PLUS the full-length fallback _seq_slice can
+        # dispatch (texts longer than the largest bucket, or an empty/
+        # misconfigured MEC_SEQ_BUCKETS) — nothing may compile on the
+        # request hot path
+        seqs = sorted({s for s in Config.SEQ_BUCKETS
+                       if s < Config.MAX_TEXT_LENGTH}
+                      | {Config.MAX_TEXT_LENGTH})
         for b in buckets:
             b = self._bucket(b)
             waves = np.zeros((b, af.N_SAMPLES), np.float32)
@@ -437,22 +442,22 @@ class EmotionEngine:
                 self._run_speech(waves)
             if self.lstm:
                 self._lstm_jit(self.lstm['variables'], self._place(full_ids))
-            for s in seqs:  # every dispatched (batch, seq-bucket) shape
-                ids = full_ids[:, :s]
-                if self.bert:
-                    self._bert_jit(self.bert['variables'],
-                                   self._place(ids), self._place(ids))
-                if all_live:
-                    self._trimodal_jit(
-                        self.speech['variables'], self.speech['scaler'],
-                        self.bert['variables'], self.image['variables'],
-                        self.fusion['variables'],
-                        self._place(self._wire_waves(waves, b)),
-                        self._place(ids), self._place(ids),
-                        self._place(self._wire_image(imgs, b)))
             if self.image:
                 self._image_jit(self.image['variables'],
                                 self._place(self._wire_image(imgs, b)))
+            if self.bert or all_live:
+                w_wire = self._place(self._wire_waves(waves, b))
+                i_wire = self._place(self._wire_image(imgs, b))
+                for s in seqs:  # every dispatched (batch, seq) shape
+                    ids = self._place(full_ids[:, :s])
+                    if self.bert:
+                        self._bert_jit(self.bert['variables'], ids, ids)
+                    if all_live:
+                        self._trimodal_jit(
+                            self.speech['variables'], self.speech['scaler'],
+                            self.bert['variables'], self.image['variables'],
+                            self.fusion['variables'],
+                            w_wire, ids, ids, i_wire)
 
     # ------------------------------------------------------------------
     # per-modality prediction (batched, fallback-laddered)

@@ -295,7 +295,7 @@ class TestLiveServing:
 
 
 class TestWireServing:
-    """Perf-mode wire compression (mu-law audio + YUV 4:2:0 image) must
+    """Perf-mode wire compression (12-bit PCM audio + YUV 4:2:0 image) must
     not flip decisions vs the fp32 parity engine on the same artifacts."""
 
     @pytest.fixture()

@@ -191,3 +191,26 @@ class TestBiLSTMParity:
                                     ids.astype(np.int32))
         assert penult.shape == (3, 5)
         tol(probs, want)
+
+
+def test_bilstm_bf16_apply_with_f32_params():
+    """Loaded checkpoints hold float32 params; applying the model with
+    dtype=bfloat16 must trace (the lax.scan carry and step output dtypes
+    have to agree) and stay close to the fp32 result. Regression: warmup
+    in perf mode crashed here before params were cast to the compute
+    dtype."""
+    import jax
+    import jax.numpy as jnp
+    from mec_tpu.models.bilstm import BiLSTMTextModel
+    kwargs = dict(vocab_size=50, embed_dim=8, lstm_units=(8, 4),
+                  dense_units=(8, 4))
+    f32 = BiLSTMTextModel(**kwargs)
+    variables = f32.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 12), jnp.int32))
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree.leaves(variables))
+    ids = jnp.asarray(np.random.RandomState(1).randint(0, 50, (3, 12)))
+    p32, _ = jax.jit(f32.apply)(variables, ids)
+    bf16 = BiLSTMTextModel(dtype=jnp.bfloat16, **kwargs)
+    p16, _ = jax.jit(bf16.apply)(variables, ids)   # must not raise
+    np.testing.assert_allclose(np.asarray(p16), np.asarray(p32), atol=0.05)
