@@ -122,9 +122,27 @@ class EmotionEngine:
         self.fusion: Optional[Dict[str, Any]] = None
         self.bert_tokenizer: Optional[WordPieceTokenizer] = None
         self.lstm_tokenizer: Optional[KerasTokenizer] = None
+        self._decode_pool = None
+        self._decode_pool_lock = threading.Lock()
 
         self._load_all()
         self._build_jits()
+
+    def _decode_images(self, paths: Sequence[str]) -> np.ndarray:
+        """Decode+resize a batch of images on a small thread pool (PIL
+        releases the GIL in its C decode/resize paths; serial decode
+        costs ~26 ms per 32-batch on the request thread)."""
+        from mec_tpu.image.preprocess import load_image_uint8
+        if len(paths) <= 1:
+            return np.stack([load_image_uint8(p) for p in paths])
+        if self._decode_pool is None:
+            with self._decode_pool_lock:
+                if self._decode_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    self._decode_pool = ThreadPoolExecutor(
+                        max_workers=4, thread_name_prefix='mec-decode')
+        return np.stack(list(self._decode_pool.map(load_image_uint8,
+                                                   paths)))
 
     # ------------------------------------------------------------------
     # artifact loading
@@ -638,9 +656,8 @@ class EmotionEngine:
                             want_features: bool = False) -> List[Dict]:
         if self.image is None:
             return [self.image_fallback() for _ in paths]
-        from mec_tpu.image.preprocess import load_image_uint8
         try:
-            imgs = np.stack([load_image_uint8(p) for p in paths])
+            imgs = self._decode_images(paths)
         except Exception as e:
             log.warning('image decode failed: %s', e)
             return [self.image_fallback() for _ in paths]
@@ -761,14 +778,13 @@ class EmotionEngine:
         all_live = (self.fusion is not None and self.speech is not None
                     and self.bert is not None and self.image is not None)
         if all_live and full_idx:
-            from mec_tpu.image.preprocess import load_image_uint8
             waves = np.stack([wav.load_and_fix_length(
                 requests[i]['audio_path'])[0] for i in full_idx])
             ids, mask = self._seq_slice(*self.bert_tokenizer.encode_batch(
                 [requests[i]['text'] for i in full_idx],
                 Config.MAX_TEXT_LENGTH))
-            imgs = np.stack([load_image_uint8(requests[i]['image_path'])
-                             for i in full_idx])
+            imgs = self._decode_images(
+                [requests[i]['image_path'] for i in full_idx])
             b = self._bucket(len(full_idx))
             packed = np.asarray(self._trimodal_jit(
                 self.speech['variables'], self.speech['scaler'],
