@@ -128,21 +128,25 @@ class EmotionEngine:
         self._load_all()
         self._build_jits()
 
-    def _decode_images(self, paths: Sequence[str]) -> np.ndarray:
-        """Decode+resize a batch of images on a small thread pool (PIL
-        releases the GIL in its C decode/resize paths; serial decode
-        costs ~26 ms per 32-batch on the request thread)."""
-        from mec_tpu.image.preprocess import load_image_uint8
-        if len(paths) <= 1:
-            return np.stack([load_image_uint8(p) for p in paths])
+    def _ensure_decode_pool(self):
         if self._decode_pool is None:
             with self._decode_pool_lock:
                 if self._decode_pool is None:
                     from concurrent.futures import ThreadPoolExecutor
                     self._decode_pool = ThreadPoolExecutor(
                         max_workers=4, thread_name_prefix='mec-decode')
-        return np.stack(list(self._decode_pool.map(load_image_uint8,
-                                                   paths)))
+        return self._decode_pool
+
+    def _decode_images(self, paths: Sequence[str]) -> np.ndarray:
+        """Decode+resize a batch of images on a small thread pool (PIL
+        releases the GIL in its C decode/resize paths; serial decode
+        costs ~220 ms per 32-batch of distinct PNGs on the request
+        thread, ~100 ms pooled). Raises on the first bad image."""
+        from mec_tpu.image.preprocess import load_image_uint8
+        if len(paths) <= 1:
+            return np.stack([load_image_uint8(p) for p in paths])
+        pool = self._ensure_decode_pool()
+        return np.stack(list(pool.map(load_image_uint8, paths)))
 
     # ------------------------------------------------------------------
     # artifact loading
@@ -778,13 +782,38 @@ class EmotionEngine:
         all_live = (self.fusion is not None and self.speech is not None
                     and self.bert is not None and self.image is not None)
         if all_live and full_idx:
-            waves = np.stack([wav.load_and_fix_length(
-                requests[i]['audio_path'])[0] for i in full_idx])
+            # Per-request decode with isolation: one undecodable upload
+            # must degrade THAT request down the fallback ladder (via the
+            # single-request path below), not fail the whole coalesced
+            # batch with it (reference behavior: degrade, don't fail).
+            decoded = []
+            for i in full_idx:
+                try:
+                    w = wav.load_and_fix_length(requests[i]['audio_path'])[0]
+                except Exception as e:
+                    log.warning('batch audio decode failed (%s): %s',
+                                requests[i]['audio_path'], e)
+                    continue
+                decoded.append((i, w))
+            from mec_tpu.image.preprocess import load_image_uint8
+            pool = self._ensure_decode_pool()
+            futs = [(i, w, pool.submit(load_image_uint8,
+                                       requests[i]['image_path']))
+                    for i, w in decoded]
+            good = []
+            for i, w, f in futs:
+                try:
+                    good.append((i, w, f.result()))
+                except Exception as e:
+                    log.warning('batch image decode failed (%s): %s',
+                                requests[i]['image_path'], e)
+            full_idx = [i for i, _w, _im in good]
+        if all_live and full_idx:
+            waves = np.stack([w for _i, w, _im in good])
+            imgs = np.stack([im for _i, _w, im in good])
             ids, mask = self._seq_slice(*self.bert_tokenizer.encode_batch(
                 [requests[i]['text'] for i in full_idx],
                 Config.MAX_TEXT_LENGTH))
-            imgs = self._decode_images(
-                [requests[i]['image_path'] for i in full_idx])
             b = self._bucket(len(full_idx))
             packed = np.asarray(self._trimodal_jit(
                 self.speech['variables'], self.speech['scaler'],

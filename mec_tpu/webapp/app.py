@@ -20,6 +20,7 @@ import io
 import json
 import os
 import secrets
+import uuid
 from functools import wraps
 from typing import Any, Callable, Dict, Optional
 
@@ -196,7 +197,11 @@ class EmotionApp:
         if not (fileobj and fileobj.filename
                 and allowed_file(fileobj.filename, kind)):
             return None
-        fname = secure_filename(fileobj.filename)
+        # unique prefix: concurrent clients uploading the same filename
+        # must not share a path — one request's save truncates the file
+        # while another request's batch is decoding it (and even without
+        # the race, user B's upload would replace user A's history file)
+        fname = f'{uuid.uuid4().hex[:12]}_{secure_filename(fileobj.filename)}'
         path = os.path.join(Config.UPLOAD_FOLDER, fname)
         fileobj.save(path)
         return path

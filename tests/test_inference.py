@@ -346,3 +346,41 @@ class TestWireServing:
             np.testing.assert_allclose(
                 np.asarray(a['all_probabilities']),
                 np.asarray(b['all_probabilities']), atol=0.06)
+
+
+class TestBatchDecodeIsolation:
+    def test_one_bad_upload_degrades_only_itself(self, live_engine,
+                                                 tmp_path):
+        """A coalesced tri-modal batch with one undecodable audio and one
+        undecodable image must not fail the whole batch: the bad requests
+        take the fallback ladder, the good one still fuses with
+        attention (regression: an AudioDecodeError in the batch path
+        500'd every request sharing the dispatch)."""
+        from PIL import Image
+        audio = _tone_wav(tmp_path, 'good.wav')
+        img_p = str(tmp_path / 'good.png')
+        Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(img_p)
+        bad_wav = str(tmp_path / 'bad.wav')
+        with open(bad_wav, 'wb') as f:
+            f.write(b'definitely not RIFF')
+        bad_img = str(tmp_path / 'bad.png')
+        with open(bad_img, 'wb') as f:
+            f.write(b'not a png either')
+
+        reqs = [
+            {'audio_path': audio, 'text': 'so happy', 'image_path': img_p},
+            {'audio_path': bad_wav, 'text': 'so happy',
+             'image_path': img_p},
+            {'audio_path': audio, 'text': 'so happy',
+             'image_path': bad_img},
+        ]
+        out = live_engine.predict_multimodal_batch(reqs)
+        assert len(out) == 3
+        # good request: full attention fusion
+        assert 'attention_weights' in out[0]['fusion']
+        # bad-audio request: speech fell back, fusion still present
+        assert out[1]['speech'].get('_fallback')
+        assert 'fusion' in out[1]
+        # bad-image request: image fell back to neutral
+        assert out[2]['image'].get('_fallback')
+        assert 'fusion' in out[2]

@@ -258,3 +258,20 @@ def test_history_filters(logged_in):
     assert modality.count('<tr') == full.count('<tr')
     assert logged_in.get('/history?modality=image').text.count('<tr') \
         == none.count('<tr')
+
+
+def test_concurrent_same_filename_uploads_do_not_collide(logged_in):
+    """Two uploads named a.wav must be saved to distinct paths: a shared
+    path gets truncated by one request while another batch decodes it
+    (regression: concurrent multimodal requests 500'd), and user B's
+    file would silently replace user A's."""
+    import io as _io
+    from mec_tpu.config import Config
+    wav = _wav_bytes()
+    for _ in range(2):
+        r = logged_in.post('/api/predict/speech',
+                           data={'audio': (_io.BytesIO(wav), 'a.wav')})
+        assert r.status_code == 200
+    saved = [f for f in os.listdir(Config.UPLOAD_FOLDER)
+             if f.endswith('a.wav')]
+    assert len(saved) == 2 and saved[0] != saved[1]
