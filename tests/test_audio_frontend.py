@@ -153,3 +153,28 @@ class TestWav:
         spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
         peak_hz = np.argmax(spec) * 22050 / len(out)
         assert abs(peak_hz - 440) < 5
+
+
+def test_wav_stereo_downmix(tmp_path):
+    """Stereo WAVs downmix by channel average, matching librosa.load
+    mono=True (reference audio_preprocessing.py loads with librosa
+    defaults; real uploads are commonly 44.1 kHz stereo)."""
+    import struct
+    sr = 22050
+    n = sr // 2
+    left = 0.5 * np.sin(2 * np.pi * 300 * np.arange(n) / sr)
+    right = 0.1 * np.sin(2 * np.pi * 300 * np.arange(n) / sr)
+    pcm = np.empty(2 * n, dtype='<i2')
+    pcm[0::2] = np.clip(left * 32767, -32768, 32767).astype('<i2')
+    pcm[1::2] = np.clip(right * 32767, -32768, 32767).astype('<i2')
+    data = pcm.tobytes()
+    p = str(tmp_path / 'stereo.wav')
+    with open(p, 'wb') as f:
+        f.write(b'RIFF'); f.write(struct.pack('<I', 36 + len(data)))
+        f.write(b'WAVE'); f.write(b'fmt ')
+        f.write(struct.pack('<IHHIIHH', 16, 1, 2, sr, sr * 4, 4, 16))
+        f.write(b'data'); f.write(struct.pack('<I', len(data)))
+        f.write(data)
+    out, got_sr = wav.load_audio_file(p, sr=sr)
+    assert got_sr == sr and out.ndim == 1 and len(out) == n
+    np.testing.assert_allclose(out, (left + right) / 2.0, atol=1e-4)
