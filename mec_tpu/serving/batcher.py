@@ -79,7 +79,10 @@ class BatchQueue:
             with self._lock:
                 batch = self._pending[:self.max_batch]
                 del self._pending[:len(batch)]
-                if not self._pending:
+                # never clear once stopped: stop() set the event AFTER
+                # setting _stopped, and clearing it here would strand the
+                # next wait() forever (stop() would hang on join)
+                if not self._pending and not self._stopped:
                     self._wakeup.clear()
             if not batch:
                 continue

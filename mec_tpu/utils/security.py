@@ -68,6 +68,11 @@ def is_safe_redirect_url(url: str, host: str = '') -> bool:
     """Only same-host or relative redirect targets."""
     if not url:
         return False
+    # browsers normalize backslashes to slashes, so '/\\evil.com' is a
+    # scheme-relative external URL that urlparse does not flag; control
+    # characters can smuggle headers
+    if '\\' in url or any(ord(c) < 0x20 for c in url):
+        return False
     parsed = urlparse(url)
     if parsed.scheme and parsed.scheme not in ('http', 'https'):
         return False

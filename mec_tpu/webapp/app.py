@@ -16,8 +16,10 @@ request like reference app.py:225,256,290,336,502,519,540,568.
 from __future__ import annotations
 
 import csv
+import hmac
 import io
 import json
+import logging
 import os
 import secrets
 import uuid
@@ -25,7 +27,8 @@ from functools import wraps
 from typing import Any, Callable, Dict, Optional
 
 from jinja2 import Environment, FileSystemLoader, select_autoescape
-from werkzeug.exceptions import HTTPException, NotFound, RequestEntityTooLarge
+from werkzeug.exceptions import (HTTPException, NotFound,
+                                 RequestEntityTooLarge, TooManyRequests)
 from werkzeug.routing import Map, Rule
 from werkzeug.utils import secure_filename
 from werkzeug.wrappers import Request, Response
@@ -188,10 +191,14 @@ class EmotionApp:
 
     def _check_csrf(self, request: Request, session: Session) -> bool:
         """HTML-form POSTs carry the session CSRF token
-        (reference uses Flask-WTF CSRFProtect, app.py:56-61)."""
+        (reference uses Flask-WTF CSRFProtect, app.py:56-61). Both sides
+        must be present and non-empty: a fresh session has no '_csrf'
+        yet, and None == None must NOT pass (login CSRF)."""
         if self.testing or not Config.WTF_CSRF_ENABLED:
             return True
-        return request.form.get('csrf_token') == session.get('_csrf')
+        token = request.form.get('csrf_token')
+        want = session.get('_csrf')
+        return bool(token and want) and hmac.compare_digest(token, want)
 
     def _save_upload(self, fileobj, kind: str) -> Optional[str]:
         if not (fileobj and fileobj.filename
@@ -232,6 +239,14 @@ class EmotionApp:
                 raise RequestEntityTooLarge()
             adapter = URL_MAP.bind_to_environ(environ)
             endpoint, args = adapter.match()
+            # app-wide default limits, per endpoint per client address
+            # (the reference's Flask-Limiter default '200/day; 50/hour',
+            # reference app.py:63-75); register/login add stricter rules
+            # inside their handlers
+            if not self.limiter.allow(
+                    f'{endpoint}:{request.remote_addr}',
+                    ratelimit.DEFAULT_RULES):
+                raise TooManyRequests('Rate limit exceeded')
             handler = getattr(self, endpoint)
             with timer.span(endpoint):
                 response = handler(request, session, **args)
@@ -249,7 +264,12 @@ class EmotionApp:
             response = self._error_response(request, session, 500,
                                             'Internal server error')
 
-        if session.modified or (session and not had_cookie):
+        # SESSION_REFRESH_EACH_REQUEST (reference config.py): re-issue
+        # the cookie on every request that carries a session so the 24 h
+        # expiry slides with activity instead of being absolute from the
+        # last session WRITE
+        refresh = bool(session) and Config.SESSION_REFRESH_EACH_REQUEST
+        if session.modified or (session and not had_cookie) or refresh:
             response.set_cookie(
                 COOKIE_NAME, dump_session(session),
                 httponly=Config.SESSION_COOKIE_HTTPONLY,
@@ -280,7 +300,9 @@ class EmotionApp:
     def static_file(self, request, session, filename):
         root = os.path.join(_HERE, 'static')
         path = os.path.normpath(os.path.join(root, filename))
-        if not path.startswith(root) or not os.path.isfile(path):
+        # containment needs the trailing separator: bare startswith(root)
+        # would also admit a sibling 'static-anything/' directory
+        if not path.startswith(root + os.sep) or not os.path.isfile(path):
             raise NotFound()
         mime = ('text/css' if path.endswith('.css')
                 else 'application/javascript' if path.endswith('.js')
@@ -430,6 +452,11 @@ class EmotionApp:
                          results: Dict[str, Dict]) -> None:
         if 'user_id' not in session:
             return
+        if not results:
+            # a request with zero inputs produced nothing — recording it
+            # would put an all-NULL row into history/CSV export (the
+            # reference does write that junk row; deliberate deviation)
+            return
         top = (results.get('fusion') or results.get('speech')
                or results.get('text') or results.get('image') or {})
         self.db.save_prediction(
@@ -493,6 +520,15 @@ class EmotionApp:
         if not (username and email and password):
             return jsonify(
                 {'error': 'username, email, and password are required'}, 400)
+        # same validators as the HTML route — API clients must not be
+        # able to bypass the password policy or create unsanitized names
+        username = sanitize_text(str(username))
+        email = sanitize_text(str(email))
+        for ok, msg in (validate_username(username),
+                        validate_email(email),
+                        validate_password(str(password))):
+            if not ok:
+                return jsonify({'error': msg}, 400)
         if self.db.find_user(username, email):
             return jsonify({'error': 'username or email exists'}, 409)
         user = self.db.create_user(username, email, password)
@@ -604,5 +640,12 @@ class EmotionApp:
 
 def create_app(db=None, engine=None, testing: bool = False,
                models_dir: Optional[str] = None) -> EmotionApp:
+    if not testing and Config.SECRET_KEY == 'change-this-secret-key':
+        # sessions are HMAC-signed with this key; the default is public
+        # (it is the reference's default too, reference config.py) and
+        # lets anyone forge an authenticated cookie
+        logging.getLogger('mec_tpu.webapp').warning(
+            'SECRET_KEY is the public default — set the SECRET_KEY env '
+            'var in production or session cookies are forgeable')
     return EmotionApp(db=db, engine=engine, testing=testing,
                       models_dir=models_dir)

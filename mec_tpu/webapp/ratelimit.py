@@ -32,10 +32,17 @@ class RateLimiter:
         now = time.time()
         with self._lock:
             for i, (limit, window) in enumerate(rules):
-                q = self._hits[(key, i)]
-                while q and q[0] <= now - window:
-                    q.popleft()
-                if len(q) >= limit:
+                # .get, not defaultdict access: the check loop must not
+                # materialize entries for keys that end up denied, or a
+                # scan from many addresses grows the dict forever
+                q = self._hits.get((key, i))
+                if q is not None:
+                    while q and q[0] <= now - window:
+                        q.popleft()
+                    if not q:
+                        del self._hits[(key, i)]   # fully expired window
+                        q = None
+                if q is not None and len(q) >= limit:
                     return False
             for i, _ in enumerate(rules):
                 self._hits[(key, i)].append(now)

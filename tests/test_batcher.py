@@ -89,3 +89,27 @@ def test_engine_batcher_text_route():
         assert stats['text']['items'] == 1
     finally:
         b.stop()
+
+
+def test_stop_during_linger_does_not_hang():
+    """stop() while the collector lingers over a pending batch must not
+    lose the stop wakeup (regression: the post-drain clear() stranded the
+    collector in wait() and stop() hit its 2 s join timeout)."""
+    import threading
+    import time as _time
+    from mec_tpu.serving.batcher import BatchQueue
+
+    def slow_fn(items):
+        _time.sleep(0.15)
+        return [i for i in items]
+
+    q = BatchQueue(slow_fn, timeout_s=0.1, name='stoprace')
+    t = threading.Thread(target=lambda: q.submit(1))
+    t.start()
+    _time.sleep(0.03)          # collector is now in its linger window
+    t0 = _time.perf_counter()
+    q.stop()
+    elapsed = _time.perf_counter() - t0
+    t.join(timeout=2)
+    assert elapsed < 1.5, f'stop() hung {elapsed:.1f}s (join timed out)'
+    assert not q._thread.is_alive()

@@ -129,7 +129,7 @@ def test_api_register_login_profile(client):
 
 
 def test_api_predict_text_and_predictions(client):
-    client.post('/api/register', json={'username': 'p1',
+    client.post('/api/register', json={'username': 'puser',
                                        'email': 'p1@example.com',
                                        'password': 'password123'})
     r = client.post('/api/predict/text', json={'text': 'this is scary'})
@@ -146,7 +146,7 @@ def test_api_predict_text_and_predictions(client):
 
 
 def test_api_predict_multimodal_two_modalities(client):
-    client.post('/api/register', json={'username': 'mm',
+    client.post('/api/register', json={'username': 'mmuser',
                                        'email': 'mm@example.com',
                                        'password': 'password123'})
     r = client.post('/api/predict/multimodal', data={
@@ -159,7 +159,7 @@ def test_api_predict_multimodal_two_modalities(client):
 
 
 def test_api_statistics_and_csv_export(client):
-    client.post('/api/register', json={'username': 'st',
+    client.post('/api/register', json={'username': 'stuser',
                                        'email': 'st@example.com',
                                        'password': 'password123'})
     client.post('/api/predict/text', json={'text': 'wonderful happy day'})
@@ -275,3 +275,71 @@ def test_concurrent_same_filename_uploads_do_not_collide(logged_in):
     saved = [f for f in os.listdir(Config.UPLOAD_FOLDER)
              if f.endswith('a.wav')]
     assert len(saved) == 2 and saved[0] != saved[1]
+
+
+class TestSecurityHardening:
+    """Review findings: login CSRF, open redirect, API validation bypass,
+    app-wide default limits, sliding sessions, NULL prediction rows."""
+
+    @pytest.fixture()
+    def prod_app(self, tmp_path):
+        from mec_tpu.config import Config
+        Config.UPLOAD_FOLDER = str(tmp_path / 'up')
+        db = Database(str(tmp_path / 'prod.db'))
+        return create_app(db=db, testing=False)
+
+    def test_csrf_required_even_without_session_token(self, prod_app):
+        """None == None must not pass: a fresh session (no rendered form,
+        no '_csrf') posting to /login is a cross-site request."""
+        c = Client(prod_app)
+        r = c.post('/login', data={'username': 'x', 'password': 'y'})
+        assert r.status_code == 400  # CSRF rejected, not 'Invalid username'
+
+    def test_csrf_token_from_rendered_form_passes(self, prod_app):
+        import re
+        c = Client(prod_app)
+        page = c.get('/login').text
+        token = re.search(r'name="csrf_token" value="([^"]+)"', page)
+        assert token, 'login form must embed csrf_token'
+        r = c.post('/login', data={'username': 'nobody', 'password': 'xyz',
+                                   'csrf_token': token.group(1)})
+        assert r.status_code == 200 and 'Invalid username' in r.text
+
+    def test_open_redirect_backslash_rejected(self):
+        from mec_tpu.utils.security import is_safe_redirect_url
+        assert not is_safe_redirect_url('/\\evil.com')
+        assert not is_safe_redirect_url('\\\\evil.com')
+        assert not is_safe_redirect_url('/a\r\nSet-Cookie: x=y')
+        assert is_safe_redirect_url('/dashboard')
+
+    def test_api_register_enforces_validators(self, client):
+        r = client.post('/api/register', json={
+            'username': 'ok_name', 'email': 'bad-email',
+            'password': 'password123'})
+        assert r.status_code == 400 and 'email' in r.json['error'].lower()
+        r = client.post('/api/register', json={
+            'username': 'ok_name', 'email': 'ok@example.com',
+            'password': 'a'})
+        assert r.status_code == 400
+        r = client.post('/api/register', json={
+            'username': 'ok_name', 'email': 'ok@example.com',
+            'password': 'password123'})
+        assert r.status_code == 201
+
+    def test_default_rate_limit_applies_app_wide(self, prod_app):
+        c = Client(prod_app)
+        codes = [c.get('/').status_code for _ in range(51)]
+        assert codes[:50] == [200] * 50
+        assert codes[50] == 429  # hourly default tripped (50/hour)
+
+    def test_session_cookie_slides_on_read_requests(self, logged_in):
+        # a pure-read request must re-issue the cookie so the 24 h expiry
+        # slides with activity (SESSION_REFRESH_EACH_REQUEST)
+        r = logged_in.get('/dashboard')
+        assert r.status_code == 200
+        assert any(h.lower() == 'set-cookie' for h, _ in r.headers)
+
+    def test_empty_multimodal_records_no_row(self, logged_in):
+        r = logged_in.post('/api/predict/multimodal', data={})
+        assert r.status_code == 200 and r.json == {}
+        assert logged_in.get('/api/predictions').json == []
