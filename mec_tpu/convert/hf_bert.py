@@ -53,9 +53,15 @@ def model_kwargs_from_config(cfg: Dict[str, Any]) -> Dict[str, int]:
 
 def convert_bert_dir(model_dir: str) -> Dict[str, Any]:
     sd = _read_state_dict(model_dir)
-    # strip optional leading "bert." wrapper used by some exports
+
     def g(key):
-        return np.asarray(sd[key])
+        # BertForSequenceClassification exports prefix encoder keys with
+        # "bert."; bare BertModel exports do not — accept both
+        if key in sd:
+            return np.asarray(sd[key])
+        if key.startswith('bert.') and key[5:] in sd:
+            return np.asarray(sd[key[5:]])
+        return np.asarray(sd[key])  # raise the original KeyError
 
     def lin(prefix):
         return {'kernel': g(f'{prefix}.weight').T, 'bias': g(f'{prefix}.bias')}

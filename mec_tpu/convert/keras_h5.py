@@ -33,11 +33,6 @@ def _layer_weights(h5file) -> List[Tuple[str, Dict[str, np.ndarray]]]:
     for lname in layer_names:
         lg = g[lname]
         weights: Dict[str, np.ndarray] = {}
-
-        def visit(name, obj):
-            if hasattr(obj, 'shape') and hasattr(obj, 'dtype'):
-                weights[name.split('/')[-1].split(':')[0] + '/' + name] = None
-
         names = []
         lg.visit(lambda n: names.append(n))
         for n in names:
@@ -79,17 +74,6 @@ def convert_speech_h5(h5_path: str) -> Dict[str, Any]:
                                          'var': _get(w, 'moving_variance')}
             bn_i += 1
     return {'params': params, 'batch_stats': batch_stats}
-
-
-def _lstm_leaf(weights: Dict[str, np.ndarray], direction: str
-               ) -> Dict[str, np.ndarray]:
-    pre = [k for k in weights if direction in k]
-    sub = {k: v for k, v in weights.items() if k in pre}
-    return {'kernel': _get(sub, 'kernel') if any(
-                k.endswith('kernel') and 'recurrent' not in k for k in sub)
-            else _get(sub, 'kernel:0'),
-            'recurrent_kernel': _get(sub, 'recurrent_kernel'),
-            'bias': _get(sub, 'bias')}
 
 
 def convert_lstm_text_h5(h5_path: str) -> Dict[str, Any]:

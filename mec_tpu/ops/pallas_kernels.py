@@ -176,8 +176,16 @@ def _mfcc_kernel(p_ref, melT_ref, dctT_ref, out_ref):
 
 
 def mfcc_mean_pallas(P: jnp.ndarray) -> jnp.ndarray:
-    """(B, T, N_BINS) power spectrogram -> (B, N_MFCC) mean MFCCs."""
+    """(B, N_FRAMES, N_BINS) power spectrogram -> (B, N_MFCC) mean MFCCs.
+
+    The kernel's validity mask and mean divisor are the module constant
+    N_FRAMES (the fixed 3 s serving clip); other frame counts would be
+    silently mis-averaged, so they are rejected here.
+    """
     B, T, F = P.shape
+    if T != N_FRAMES:
+        raise ValueError(f'mfcc_mean_pallas requires T == {N_FRAMES} '
+                         f'(the fixed serving clip), got {T}')
     pad_t = _FRAMES_PAD - T
     pad_f = _NBINS_PAD - F
     P = jnp.pad(P, ((0, 0), (0, pad_t), (0, pad_f)))

@@ -76,23 +76,6 @@ def _tree_paths_map(fn, tree: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def variables_pspec_tree(variables: Dict[str, Any],
-                         rules: BertRules | None = None) -> Any:
-    """PartitionSpec pytree matching `variables` (replicated by default)."""
-    rules = rules if rules is not None else bert_partition_rules()
-
-    def spec_of(path, leaf):
-        spec = partition_spec_for(path, rules)
-        # Guard: only shard dims that actually divide; GSPMD would error.
-        if spec != P() and hasattr(leaf, 'shape'):
-            for dim, name in zip(leaf.shape, spec):
-                if name is not None and dim % 1 != 0:
-                    return P()
-        return spec
-
-    return _tree_paths_map(spec_of, variables)
-
-
 def shard_variables(mesh: Mesh, variables: Dict[str, Any],
                     rules: BertRules | None = None) -> Dict[str, Any]:
     """Place a variables pytree on the mesh per the partition rules.

@@ -2,9 +2,12 @@
 
 The reference keeps only best-model weights with no optimizer state and no
 resume (SURVEY.md §5 "Checkpoint / resume"). Here a checkpoint is the full
-TrainState (params, BatchNorm stats, optimizer state, step) plus the numpy
-RNG, written atomically via orbax; serving artifacts remain the separate
-lightweight .mecp format (mec_tpu.convert.store).
+TrainState (params, BatchNorm stats, optimizer state, step) plus the
+epoch/history/best-metric/best-weights extras, written atomically via
+orbax; serving artifacts remain the separate lightweight .mecp format
+(mec_tpu.convert.store). RNG state needs no persistence: fit() derives
+shuffle and dropout randomness per (seed, epoch, step), so a resumed
+epoch k draws exactly what an uninterrupted run would have.
 """
 
 from __future__ import annotations
@@ -66,10 +69,6 @@ def restore_train_state(path: str, state):
         if not blob.startswith(_MAGIC):
             raise ValueError(f'{path} is not a mec_tpu train checkpoint')
         payload = serialization.msgpack_restore(blob[len(_MAGIC):])
-
-    def like(template, value):
-        return jax.tree.map(lambda t, v: np.asarray(v).astype(t.dtype)
-                            if hasattr(t, 'dtype') else v, template, value)
 
     restored = state.replace(
         step=np.asarray(payload['step']),

@@ -170,20 +170,26 @@ def fit(state: TrainState,
         on_epoch_end: Optional[Callable] = None,
         checkpoint_path: Optional[str] = None,
         resume: bool = False,
+        epoch_transform: Optional[Callable] = None,
         ) -> Tuple[TrainState, Any, Dict[str, list]]:
     """Generic epoch loop with early stopping + LR-on-plateau.
 
     checkpoint_path enables per-epoch full-TrainState checkpointing (the
     reference only keeps best weights, SURVEY.md §5); resume=True restores
-    the state/epoch/history from it and continues mid-run.
+    the state/epoch/history/BEST WEIGHTS from it and continues mid-run.
+    Shuffle and dropout randomness are derived per (seed, epoch, step),
+    so a resumed run continues the same stream an uninterrupted run
+    would have used rather than replaying epoch 0's.
+
+    epoch_transform(epoch, train_data) -> train_data lets a trainer
+    re-randomize augmentation each epoch (torchvision-style transforms).
 
     train_step(state, batch, dropout_rng) -> (state, loss)
     eval_step(variables, batch) -> logits (or probs)
 
     Returns (final_state, best_variables, history).
     """
-    np_rng = np.random.RandomState(seed)
-    dropout_key = jax.random.PRNGKey(seed)
+    base_key = jax.random.PRNGKey(seed)
     history: Dict[str, list] = {'loss': [], 'val_loss': [], 'val_acc': [],
                                 'lr': []}
     best_metric = -np.inf
@@ -203,6 +209,11 @@ def fit(state: TrainState,
             history = {k: list(v) for k, v in
                        extra.get('history', history).items()}
             best_metric = float(extra.get('best_metric', best_metric))
+            # without this, a resumed run whose later epochs never beat
+            # best_metric would return (and the trainer would SAVE) the
+            # fresh random-init variables captured above
+            if extra.get('best_vars') is not None:
+                best_vars = extra['best_vars']
             log_fn(f'Resumed from {checkpoint_path} at epoch {start_epoch}')
 
     batch_shard = batch_sharding(mesh) if mesh is not None else None
@@ -213,11 +224,24 @@ def fit(state: TrainState,
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
-        for batch in iterate_batches(train_data, batch_size, np_rng):
-            batch, _n = pad_batch(batch, batch_size)
+        # per-(seed, epoch) shuffle rng + per-(epoch, step) dropout keys:
+        # resumable (epoch k is identical whether or not the run was
+        # interrupted before it)
+        ep_rng = np.random.RandomState((seed * 1000003 + epoch) % 2**32)
+        ep_key = jax.random.fold_in(base_key, epoch)
+        ep_data = (epoch_transform(epoch, train_data)
+                   if epoch_transform is not None else train_data)
+        for step, batch in enumerate(
+                iterate_batches(ep_data, batch_size, ep_rng)):
             if batch_shard is not None:
+                # mesh sharding needs the static bucket shape; the padded
+                # duplicate rows slightly overweight the tail batch
+                batch, _n = pad_batch(batch, batch_size)
                 batch = jax.device_put(batch, batch_shard)
-            dropout_key, sub = jax.random.split(dropout_key)
+            # single-device: train the true ragged tail (one extra
+            # compile) — padding would duplicate rows into the loss mean
+            # and the BatchNorm batch statistics
+            sub = jax.random.fold_in(ep_key, step)
             state, loss = train_step(state, batch, sub)
             losses.append(loss)
         train_loss = float(np.mean([np.asarray(l) for l in losses])) \
@@ -225,7 +249,7 @@ def fit(state: TrainState,
 
         # validation
         val_losses, val_hits, val_count = [], 0, 0
-        for batch in iterate_batches(val_data, batch_size, np_rng,
+        for batch in iterate_batches(val_data, batch_size, ep_rng,
                                      shuffle=False):
             padded, n = pad_batch(batch, batch_size)
             if batch_shard is not None:
@@ -281,7 +305,8 @@ def fit(state: TrainState,
             _ckpt.save_train_state(
                 checkpoint_path, state,
                 extra={'epoch': epoch, 'history': history,
-                       'best_metric': float(best_metric)})
+                       'best_metric': float(best_metric),
+                       'best_vars': best_vars})
 
         if on_epoch_end is not None:
             on_epoch_end(epoch, state, history)

@@ -143,6 +143,7 @@ def load_text_dataset(path: str, fold_labels: bool = True,
     label_to_idx = {e: i for i, e in enumerate(Config.EMOTIONS)}
     texts: List[str] = []
     labels: List[int] = []
+    dropped: Dict[str, int] = {}
     for row in rows:
         if len(row) < 2:
             continue
@@ -160,9 +161,21 @@ def load_text_dataset(path: str, fold_labels: bool = True,
                     emotion = e
                     break
         if emotion is None:
+            dropped[raw] = dropped.get(raw, 0) + 1
             continue
         texts.append(text.lower().strip())
         labels.append(label_to_idx[emotion])
+    if dropped:
+        # the reference's exact-label filter drops these too (reference
+        # train_text_model.py:151-152) but prints the class distribution;
+        # silent data loss on dair-ai-style labels (anger/joy/love) has
+        # bitten people, so always say what was discarded
+        total = sum(dropped.values())
+        detail = ', '.join(f'{k!r}: {v}' for k, v in
+                           sorted(dropped.items(), key=lambda kv: -kv[1])[:8])
+        print(f'WARNING: dropped {total} rows with unmapped labels '
+              f'({detail}). With fold_labels=True, joy/love fold to '
+              f'happy (TEXT_LABEL_FOLD).')
     if verbose:
         y = np.array(labels)
         print(f'Loaded {len(texts)} text samples from {path}')

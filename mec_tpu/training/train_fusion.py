@@ -189,14 +189,17 @@ def train(num_samples: int = 10000, epochs: int = 100,
 
     def train_step(state, batch, rng):
         state, loss, aw, dw = train_step_full(state, batch, rng)
-        last_weights['attn'] = np.asarray(aw)
-        last_weights['decision'] = np.asarray(dw)
+        # keep the DEVICE arrays: only on_epoch_end reads them, and a
+        # np.asarray here would block ~30 ms per step on a remote chip
+        # (fetches are the only sync points on the axon tunnel)
+        last_weights['attn'] = aw
+        last_weights['decision'] = dw
         return state, loss
 
     def on_epoch_end(epoch, state, history):
         if last_weights:
-            aw = np.round(last_weights['attn'], 3)
-            dw = np.round(last_weights['decision'], 3)
+            aw = np.round(np.asarray(last_weights['attn']), 3)
+            dw = np.round(np.asarray(last_weights['decision']), 3)
             log(f'  mean attention weights [s,t,i]: {aw.tolist()} | '
                 f'decision weights: {dw.tolist()}')
 

@@ -97,12 +97,19 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
 
     tr, va = metrics.train_test_split_stratified(len(imgs), labels,
                                                  0.15, seed=42)
-    rng = np.random.RandomState(seed)
-    train_imgs = imgs[tr]
-    if augment:
-        train_imgs = data.augment_images_uint8(train_imgs, rng)
-    train_data = {'img': train_imgs, 'label': labels[tr]}
+    train_data = {'img': imgs[tr], 'label': labels[tr]}
     val_data = {'img': imgs[va], 'label': labels[va]}
+
+    # torchvision-style augmentation: a FRESH random draw each epoch from
+    # the originals (reference train_image_model.py:135-148 applies the
+    # transforms on the fly per epoch; a single fixed draw would train
+    # 30 epochs on one static set and never on the clean images)
+    epoch_transform = None
+    if augment:
+        def epoch_transform(epoch, d):
+            ep_rng = np.random.RandomState((seed * 9176 + epoch) % 2**32)
+            return {'img': data.augment_images_uint8(d['img'], ep_rng),
+                    'label': d['label']}
     log(f'Training set: {len(tr)}  validation set: {len(va)}')
 
     model = ImageEmotionModel(dtype=jnp.bfloat16 if bf16 else jnp.float32)
@@ -121,7 +128,8 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
     state, best_vars, hist1 = common.fit(
         state, train_data, val_data, train_step, eval_step,
         epochs=min(phase1_epochs, epochs), batch_size=batch_size,
-        seed=seed, monitor='val_acc', patience=5, mesh=mesh, log_fn=log)
+        seed=seed, monitor='val_acc', patience=5, mesh=mesh, log_fn=log,
+        epoch_transform=epoch_transform)
 
     # Phase 2: full fine-tune at base LR with cosine annealing (:221-253)
     remaining = max(epochs - phase1_epochs, 0)
@@ -138,7 +146,8 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
         state, best_vars2, hist2 = common.fit(
             state, train_data, val_data, train_step, eval_step,
             epochs=remaining, batch_size=batch_size, seed=seed + 1,
-            monitor='val_acc', patience=5, mesh=mesh, log_fn=log)
+            monitor='val_acc', patience=5, mesh=mesh, log_fn=log,
+            epoch_transform=epoch_transform)
         if max(hist2['val_acc']) >= max(hist1['val_acc']):
             best_vars = best_vars2
 

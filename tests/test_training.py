@@ -251,6 +251,33 @@ def test_fit_checkpoint_resume_midrun(tmp_path):
     assert hist2['val_acc'][:2] == hist1['val_acc']
 
 
+def test_resume_with_no_new_best_keeps_checkpoint_best_vars(tmp_path):
+    """Regression: a resumed run whose later epochs never beat the
+    restored best_metric must return the checkpoint's best weights, not
+    the fresh random-init variables captured before the restore."""
+    import jax
+    from mec_tpu.serving.engine import EmotionEngine
+    from mec_tpu.training import train_speech
+    X, y = _speech_data()
+    ckpt = str(tmp_path / 's.ckpt')
+    m1 = str(tmp_path / 'm1')
+    best1, _, hist1 = train_speech.train(
+        X=X, y=y, epochs=3, batch_size=16, models_dir=m1, verbose=False,
+        checkpoint_path=ckpt)
+    # resume with the SAME epoch count: the loop body never runs, so any
+    # 'best' must come from the checkpoint
+    m2 = str(tmp_path / 'm2')
+    best2, _, _ = train_speech.train(
+        X=X, y=y, epochs=3, batch_size=16, models_dir=m2, verbose=False,
+        checkpoint_path=ckpt, resume=True)
+    for a, b in zip(jax.tree.leaves(best1['params']),
+                    jax.tree.leaves(best2['params'])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # and the artifact it saved must actually serve
+    engine = EmotionEngine(models_dir=m2)
+    assert engine.speech is not None
+
+
 def test_image_trainer_bf16(models_dir):
     """--bf16 (bfloat16 compute, float32 params) trains and serves; the
     saved artifact must still hold float32 params."""
