@@ -12,6 +12,35 @@ from datetime import timedelta
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def load_dotenv(path: str = '.env') -> bool:
+    """Minimal python-dotenv equivalent. The reference calls
+    `load_dotenv()` before its Config is read (reference app.py:40) so a
+    `.env` file in the working directory configures the service; same
+    here, without the dependency. Existing environment variables win
+    (python-dotenv's default override=False). Returns True if a file was
+    loaded. See `.env.example` at the repo root for the known keys."""
+    try:
+        with open(path, encoding='utf-8') as f:
+            lines = f.readlines()
+    except OSError:
+        return False
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith('#'):
+            continue
+        key, sep, value = line.partition('=')
+        key, value = key.strip(), value.strip()
+        if not sep or not key:
+            continue
+        if len(value) >= 2 and value[0] == value[-1] and value[0] in '\'"':
+            value = value[1:-1]
+        os.environ.setdefault(key, value)
+    return True
+
+
+load_dotenv()
+
+
 def _env_flag(name: str, default: bool) -> bool:
     v = os.environ.get(name)
     if v is None:

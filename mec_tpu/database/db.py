@@ -239,12 +239,26 @@ class Database:
                              modality: Optional[str] = None,
                              start: Optional[str] = None,
                              end: Optional[str] = None,
-                             limit: Optional[int] = None
+                             limit: Optional[int] = None,
+                             offset: int = 0
                              ) -> List[Prediction]:
         """Newest first, with the reference's optional history filters
-        (reference app.py:365-396)."""
-        q = 'SELECT * FROM predictions WHERE user_id = ?'
-        args: List[Any] = [user_id]
+        (reference app.py:365-396). limit/offset page the result (new;
+        the reference returns every row)."""
+        q = ('SELECT * FROM predictions'
+             + self._history_where(emotion, modality, start, end)[0])
+        args = [user_id] + self._history_where(emotion, modality,
+                                               start, end)[1]
+        q += ' ORDER BY prediction_date DESC, id DESC'
+        if limit:
+            q += f' LIMIT {int(limit)} OFFSET {int(offset)}'
+        rows = self._conn().execute(q, args).fetchall()
+        return [Prediction(**dict(r)) for r in rows]
+
+    @staticmethod
+    def _history_where(emotion, modality, start, end):
+        q = ' WHERE user_id = ?'
+        args: List[Any] = []
         if emotion:
             q += ' AND predicted_emotion = ?'
             args.append(emotion)
@@ -257,16 +271,17 @@ class Database:
         if end:
             q += ' AND prediction_date <= ?'
             args.append(end)
-        q += ' ORDER BY prediction_date DESC, id DESC'
-        if limit:
-            q += f' LIMIT {int(limit)}'
-        rows = self._conn().execute(q, args).fetchall()
-        return [Prediction(**dict(r)) for r in rows]
+        return q, args
 
-    def count_user_predictions(self, user_id: int) -> int:
+    def count_user_predictions(self, user_id: int,
+                               emotion: Optional[str] = None,
+                               modality: Optional[str] = None,
+                               start: Optional[str] = None,
+                               end: Optional[str] = None) -> int:
+        where, args = self._history_where(emotion, modality, start, end)
         return self._conn().execute(
-            'SELECT COUNT(*) FROM predictions WHERE user_id = ?',
-            (user_id,)).fetchone()[0]
+            'SELECT COUNT(*) FROM predictions' + where,
+            [user_id] + args).fetchone()[0]
 
     def emotion_distribution(self, user_id: int) -> Dict[str, int]:
         dist = {e: 0 for e in Config.EMOTIONS}

@@ -25,6 +25,7 @@ import secrets
 import uuid
 from functools import wraps
 from typing import Any, Callable, Dict, Optional
+from urllib.parse import urlencode
 
 from jinja2 import Environment, FileSystemLoader, select_autoescape
 from werkzeug.exceptions import (HTTPException, NotFound,
@@ -473,15 +474,28 @@ class EmotionApp:
         if fusion_label:
             self.db.increment_emotion_stat(fusion_label)
 
+    HISTORY_PAGE_SIZE = 25
+
     @login_required
     def history(self, request, session):
+        filters = {k: request.args.get(k) or None
+                   for k in ('emotion', 'modality', 'start', 'end')}
+        try:
+            page = max(1, int(request.args.get('page') or 1))
+        except ValueError:
+            page = 1
+        total = self.db.count_user_predictions(session['user_id'], **filters)
+        pages = max(1, -(-total // self.HISTORY_PAGE_SIZE))
+        page = min(page, pages)
         preds = self.db.get_user_predictions(
-            session['user_id'],
-            emotion=request.args.get('emotion') or None,
-            modality=request.args.get('modality') or None,
-            start=request.args.get('start') or None,
-            end=request.args.get('end') or None)
-        return self.render(session, 'history.html', predictions=preds)
+            session['user_id'], **filters,
+            limit=self.HISTORY_PAGE_SIZE,
+            offset=(page - 1) * self.HISTORY_PAGE_SIZE)
+        # filter querystring for the pagination links (page appended)
+        qs = urlencode({k: v for k, v in filters.items() if v})
+        return self.render(session, 'history.html', predictions=preds,
+                           page=page, pages=pages, total=total,
+                           filter_qs=(qs + '&' if qs else ''))
 
     @login_required
     def export_history_csv(self, request, session):

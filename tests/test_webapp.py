@@ -241,6 +241,30 @@ def test_register_rate_limited(tmp_path):
     assert r.status_code == 429
 
 
+def test_history_pagination(app, logged_in):
+    """/history pages at 25 rows (new; the reference renders every row,
+    reference app.py:365-396) and the nav links preserve filters."""
+    uid = app.db.find_user('tester').id
+    for i in range(30):
+        app.db.save_prediction(uid, input_type='text',
+                               predicted_emotion='happy',
+                               confidence_score=0.9)
+    page1 = logged_in.get('/history').text
+    assert page1.count('emotion-happy') == 25
+    assert 'Page 1 of 2' in page1 and '30 predictions' in page1
+    page2 = logged_in.get('/history?page=2').text
+    assert page2.count('emotion-happy') == 5
+    # out-of-range and junk pages clamp instead of erroring
+    assert logged_in.get('/history?page=99').text.count('emotion-happy') == 5
+    assert logged_in.get('/history?page=x').status_code == 200
+    # filters survive in the pagination links
+    filtered = logged_in.get('/history?emotion=happy').text
+    assert 'emotion=happy&page=2' in filtered.replace('&amp;', '&')
+    # filtered count drives the page count
+    assert 'Page 1 of 1' in logged_in.get('/history?emotion=sad').text \
+        or 'No predictions match' in logged_in.get('/history?emotion=sad').text
+
+
 def test_history_filters(logged_in):
     """/history?emotion=&modality= filter the rendered rows (reference
     app.py:365-398 exposes the same query params)."""
