@@ -132,6 +132,17 @@ class Config:
     # Max time the batcher waits to fill a bucket before flushing (seconds).
     BATCH_TIMEOUT_S = float(os.environ.get('MEC_BATCH_TIMEOUT_S', '0.003'))
 
+    # Batches in flight per queue: host prep of batch N+1 (decode,
+    # tokenize, wire encode) overlaps the device round trip of batch N.
+    # 1 = serial (the pre-pipelining behavior).
+    BATCH_PIPELINE_DEPTH = int(os.environ.get('MEC_BATCH_PIPELINE', '2'))
+
+    # Rate limiting (the reference's Flask-Limiter rules by default).
+    # MEC_RATELIMIT=0 disables; MEC_RATELIMIT_DEFAULT / _REGISTER /
+    # _LOGIN override the rules as 'count/window_seconds' pairs
+    # (e.g. '200/86400,50/3600') — parsed in webapp/ratelimit.py.
+    RATELIMIT_ENABLED = _env_flag('MEC_RATELIMIT', True)
+
     # Compute dtype for encoder matmuls. 'bfloat16' rides the MXU at full
     # rate on v5e; 'float32' is the parity mode (logits match the fp32
     # reference to <=1e-4).

@@ -11,12 +11,21 @@ sizes the engine has already compiled.
 Latency math: the timeout (default 3 ms) bounds added queueing delay;
 under load the batch effect dominates — 32 concurrent tri-modal requests
 cost one dispatch instead of 32.
+
+Pipelining: each batch runs on a small worker pool (depth
+Config.BATCH_PIPELINE_DEPTH, default 2) instead of inline on the
+collector, so host work for batch N+1 (file decode, tokenize, wire
+encode) overlaps the device round trip of batch N — on the remote-tunnel
+deployment that round trip is upload + compute + a ~30 ms fetch RTT. A
+semaphore bounds in-flight batches at the pool depth; while every slot
+is busy the collector keeps queueing, so coalescing under load is
+preserved (the next batch forms from everything that arrived meanwhile).
 """
 
 from __future__ import annotations
 
 import threading
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 from mec_tpu.config import Config
@@ -28,16 +37,22 @@ class BatchQueue:
     def __init__(self, fn: Callable[[Sequence[Any]], List[Any]],
                  max_batch: Optional[int] = None,
                  timeout_s: Optional[float] = None,
-                 name: str = 'batch'):
+                 name: str = 'batch',
+                 pipeline_depth: Optional[int] = None):
         self.fn = fn
         self.max_batch = max_batch or Config.BATCH_BUCKETS[-1]
         self.timeout_s = (Config.BATCH_TIMEOUT_S if timeout_s is None
                           else timeout_s)
         self.name = name
+        self.pipeline_depth = max(1, pipeline_depth
+                                  or Config.BATCH_PIPELINE_DEPTH)
         self._lock = threading.Lock()
         self._pending: List[Tuple[Any, Future]] = []
         self._wakeup = threading.Event()
         self._stopped = False
+        self._slots = threading.Semaphore(self.pipeline_depth)
+        self._exec = ThreadPoolExecutor(max_workers=self.pipeline_depth,
+                                        thread_name_prefix=f'batchrun-{name}')
         self._thread = threading.Thread(target=self._loop,
                                         name=f'batcher-{name}', daemon=True)
         self._thread.start()
@@ -59,6 +74,7 @@ class BatchQueue:
             self._stopped = True
         self._wakeup.set()
         self._thread.join(timeout=2)
+        self._exec.shutdown(wait=True)
 
     # ------------------------------------------------------------------
     def _loop(self) -> None:
@@ -76,6 +92,10 @@ class BatchQueue:
             if self.timeout_s > 0:
                 deadline = threading.Event()
                 deadline.wait(self.timeout_s)
+            # wait for a pipeline slot BEFORE forming the batch: while
+            # every worker is busy, arrivals keep coalescing into one
+            # larger batch instead of many early small ones
+            self._slots.acquire()
             with self._lock:
                 batch = self._pending[:self.max_batch]
                 del self._pending[:len(batch)]
@@ -85,7 +105,12 @@ class BatchQueue:
                 if not self._pending and not self._stopped:
                     self._wakeup.clear()
             if not batch:
+                self._slots.release()
                 continue
+            self._exec.submit(self._run_batch, batch)
+
+    def _run_batch(self, batch: List[Tuple[Any, Future]]) -> None:
+        try:
             items = [b[0] for b in batch]
             try:
                 results = self.fn(items)
@@ -99,8 +124,11 @@ class BatchQueue:
                 for _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
-            self.batches_run += 1
-            self.items_run += len(batch)
+            with self._lock:
+                self.batches_run += 1
+                self.items_run += len(batch)
+        finally:
+            self._slots.release()
 
 
 class EngineBatcher:

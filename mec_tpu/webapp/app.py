@@ -140,7 +140,8 @@ class EmotionApp:
         self._batcher = None
         self._models_dir = models_dir
         self._init_lock = __import__('threading').Lock()
-        self.limiter = ratelimit.RateLimiter(enabled=not testing)
+        self.limiter = ratelimit.RateLimiter(
+            enabled=not testing and Config.RATELIMIT_ENABLED)
         self.log = setup_logging()
         self.jinja = Environment(
             loader=FileSystemLoader(os.path.join(_HERE, 'templates')),

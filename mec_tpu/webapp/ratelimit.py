@@ -15,9 +15,39 @@ from typing import Deque, Dict, Sequence, Tuple
 
 Rule = Tuple[int, float]  # (max_requests, window_seconds)
 
-DEFAULT_RULES: Sequence[Rule] = ((200, 86400.0), (50, 3600.0))
-REGISTER_RULES: Sequence[Rule] = ((3, 3600.0),)
-LOGIN_RULES: Sequence[Rule] = ((5, 900.0),)
+
+def parse_rules(spec: str, fallback: Sequence[Rule]) -> Sequence[Rule]:
+    """Parse 'count/window_seconds' pairs, e.g. '200/86400,50/3600'.
+    Malformed specs fall back (misconfig must not take the service to
+    an unlimited or all-denied state)."""
+    if not spec.strip():
+        return fallback
+    try:
+        rules = []
+        for part in spec.split(','):
+            n, w = part.split('/')
+            n, w = int(n), float(w)
+            if n <= 0 or w <= 0:
+                raise ValueError(part)
+            rules.append((n, w))
+        return tuple(rules)
+    except (ValueError, TypeError):
+        return fallback
+
+
+def _env_rules(name: str, fallback: Sequence[Rule]) -> Sequence[Rule]:
+    import os
+    return parse_rules(os.environ.get(name, ''), fallback)
+
+
+# The reference's Flask-Limiter rules (reference app.py:63-75,130,156),
+# overridable per deployment via MEC_RATELIMIT_* env specs.
+DEFAULT_RULES: Sequence[Rule] = _env_rules(
+    'MEC_RATELIMIT_DEFAULT', ((200, 86400.0), (50, 3600.0)))
+REGISTER_RULES: Sequence[Rule] = _env_rules(
+    'MEC_RATELIMIT_REGISTER', ((3, 3600.0),))
+LOGIN_RULES: Sequence[Rule] = _env_rules(
+    'MEC_RATELIMIT_LOGIN', ((5, 900.0),))
 
 
 class RateLimiter:

@@ -91,6 +91,73 @@ def test_engine_batcher_text_route():
         b.stop()
 
 
+def test_pipeline_overlaps_batches():
+    """With pipeline_depth=2 the collector dispatches batch N+1 while
+    batch N is still inside fn (host prep overlapping the device round
+    trip); depth=1 keeps the old serial behavior."""
+    first_entered = threading.Event()
+    second_entered = threading.Event()
+    release_first = threading.Event()
+    calls = []
+    lock = threading.Lock()
+
+    def fn(items):
+        with lock:
+            calls.append(list(items))
+            n = len(calls)
+        if n == 1:
+            first_entered.set()
+            assert release_first.wait(5)
+        else:
+            second_entered.set()
+        return list(items)
+
+    q = BatchQueue(fn, max_batch=8, timeout_s=0.0, pipeline_depth=2)
+    try:
+        t1 = threading.Thread(target=q.submit, args=(1,))
+        t1.start()
+        assert first_entered.wait(5)
+        t2 = threading.Thread(target=q.submit, args=(2,))
+        t2.start()
+        # second batch runs to completion while the first is still blocked
+        assert second_entered.wait(5), \
+            'batch 2 did not start while batch 1 was in flight'
+        release_first.set()
+        t1.join(5)
+        t2.join(5)
+    finally:
+        release_first.set()
+        q.stop()
+    assert sorted(sum(calls, [])) == [1, 2]
+
+
+def test_pipeline_depth_one_is_serial():
+    in_flight = []
+    max_in_flight = []
+    lock = threading.Lock()
+
+    def fn(items):
+        with lock:
+            in_flight.append(1)
+            max_in_flight.append(len(in_flight))
+        time.sleep(0.02)
+        with lock:
+            in_flight.pop()
+        return list(items)
+
+    q = BatchQueue(fn, max_batch=1, timeout_s=0.0, pipeline_depth=1)
+    try:
+        threads = [threading.Thread(target=q.submit, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        q.stop()
+    assert max(max_in_flight) == 1
+
+
 def test_stop_during_linger_does_not_hang():
     """stop() while the collector lingers over a pending batch must not
     lose the stop wakeup (regression: the post-drain clear() stranded the

@@ -241,6 +241,21 @@ def test_register_rate_limited(tmp_path):
     assert r.status_code == 429
 
 
+def test_ratelimit_parse_rules():
+    """Env-spec parser for deployment-tunable limits; malformed specs
+    fall back to the reference rules rather than opening or closing
+    the service."""
+    from mec_tpu.webapp.ratelimit import parse_rules
+    fb = ((1, 1.0),)
+    assert parse_rules('200/86400,50/3600', fb) == \
+        ((200, 86400.0), (50, 3600.0))
+    assert parse_rules('', fb) == fb
+    assert parse_rules('junk', fb) == fb
+    assert parse_rules('0/10', fb) == fb
+    assert parse_rules('5/-1', fb) == fb
+    assert parse_rules('5/0.5', fb) == ((5, 0.5),)
+
+
 def test_history_pagination(app, logged_in):
     """/history pages at 25 rows (new; the reference renders every row,
     reference app.py:365-396) and the nav links preserve filters."""
