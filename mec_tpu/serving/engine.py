@@ -786,24 +786,27 @@ class EmotionEngine:
             # must degrade THAT request down the fallback ladder (via the
             # single-request path below), not fail the whole coalesced
             # batch with it (reference behavior: degrade, don't fail).
-            decoded = []
-            for i in full_idx:
+            # Audio and image decodes for the whole batch run interleaved
+            # on the decode pool (both release the GIL in their C paths).
+            from mec_tpu.image.preprocess import load_image_uint8
+            pool = self._ensure_decode_pool()
+            futs = [(i,
+                     pool.submit(lambda p: wav.load_and_fix_length(p)[0],
+                                 requests[i]['audio_path']),
+                     pool.submit(load_image_uint8,
+                                 requests[i]['image_path']))
+                    for i in full_idx]
+            good = []
+            for i, wf, imf in futs:
                 try:
-                    w = wav.load_and_fix_length(requests[i]['audio_path'])[0]
+                    w = wf.result()
                 except Exception as e:
                     log.warning('batch audio decode failed (%s): %s',
                                 requests[i]['audio_path'], e)
+                    imf.cancel()
                     continue
-                decoded.append((i, w))
-            from mec_tpu.image.preprocess import load_image_uint8
-            pool = self._ensure_decode_pool()
-            futs = [(i, w, pool.submit(load_image_uint8,
-                                       requests[i]['image_path']))
-                    for i, w in decoded]
-            good = []
-            for i, w, f in futs:
                 try:
-                    good.append((i, w, f.result()))
+                    good.append((i, w, imf.result()))
                 except Exception as e:
                     log.warning('batch image decode failed (%s): %s',
                                 requests[i]['image_path'], e)
