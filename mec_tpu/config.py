@@ -168,6 +168,15 @@ class Config:
     # ships PCM16 audio + raw uint8 RGB. See mec_tpu.serving.wire.
     WIRE_COMPRESS = _env_flag('MEC_WIRE_COMPRESS', True)
 
+    # Perf-mode host audio featurization: compute the 56-dim frontend on
+    # the host (C++ single-pass, mec_tpu/native/audiofeat.cpp) and ship
+    # 224 B of features per clip instead of the ~99 KB packed waveform.
+    # Trades host CPU (~ms/clip) for upload bandwidth — wins on
+    # multi-core serving hosts, loses on single-core ones, so 'auto'
+    # enables it only when >=4 CPUs are available. fp32 parity mode
+    # always keeps the traced on-device frontend.
+    HOST_AUDIO_FEATURES = os.environ.get('MEC_HOST_AUDIO_FEATURES', 'auto')
+
     # Mesh axis sizes for multi-chip deployment; 'auto' uses all local
     # devices on the data axis. See mec_tpu.parallel.mesh.
     MESH_DATA = os.environ.get('MEC_MESH_DATA', 'auto')

@@ -42,9 +42,11 @@ def load_library(name: str) -> Optional[ctypes.CDLL]:
                 tmp = so_path + f'.tmp{os.getpid()}'
                 # -ffp-contract=off: the wire codecs pin float32 numerics
                 # against their numpy references; FMA contraction would
-                # reassociate those expressions on some targets.
+                # reassociate those expressions on some targets. -O3 for
+                # auto-vectorization of the featurizer's FFT/filter loops
+                # (IEEE semantics preserved — no -ffast-math).
                 subprocess.run(
-                    ['g++', '-O2', '-shared', '-fPIC', '-std=c++17',
+                    ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
                      '-ffp-contract=off', '-pthread', src, '-o', tmp],
                     check=True, capture_output=True)
                 os.replace(tmp, so_path)

@@ -115,6 +115,15 @@ class EmotionEngine:
         # scaling out is placement, not new code (SURVEY.md §2.3).
         self.mesh = make_mesh() if jax.device_count() > 1 else None
         self._data_size = self.mesh.shape['data'] if self.mesh else 1
+        # Host audio featurization (perf mode): ship 56 floats per clip
+        # instead of the packed waveform (Config.HOST_AUDIO_FEATURES;
+        # 'auto' = only on multi-core hosts, where the C++ featurizer
+        # threads across clips and beats the upload it replaces).
+        ha = str(Config.HOST_AUDIO_FEATURES).lower()
+        self._host_audio = (
+            self.compute_dtype == jnp.bfloat16
+            and (ha in ('1', 'true', 'yes', 'on')
+                 or (ha == 'auto' and (os.cpu_count() or 1) >= 4)))
         self.speech: Optional[Dict[str, Any]] = None
         self.bert: Optional[Dict[str, Any]] = None
         self.lstm: Optional[Dict[str, Any]] = None
@@ -388,8 +397,15 @@ class EmotionEngine:
                 log.warning('pallas DNN unavailable: %s', e)
 
         def speech_fwd(variables, scaler, waves):
-            feats = af.audio_features_56(_decode_waves(waves),
-                                         use_pallas=use_pallas)
+            # _host_audio is static at trace time: the graph either takes
+            # (B, 56) precomputed features (host C++ frontend,
+            # native/audiofeat.cpp) or the waveform wire + on-device
+            # frontend.
+            if self._host_audio:
+                feats = waves
+            else:
+                feats = af.audio_features_56(_decode_waves(waves),
+                                             use_pallas=use_pallas)
             x = (feats - scaler[0]) / scaler[1]
             if dnn_pallas is not None:
                 packed = dnn_pallas(x)
@@ -494,7 +510,17 @@ class EmotionEngine:
         (37.5% of the float32 bytes over the device link, measured
         feature-transparent — see serving/wire.py for why 8-bit is not)
         or PCM16 with MEC_WIRE_COMPRESS=0; parity mode ships float32.
-        Expanded on device by _decode_waves. Row-padded to the bucket."""
+        Expanded on device by _decode_waves. Row-padded to the bucket.
+
+        With host featurization on, the audio wire is the (B, 56)
+        feature matrix itself — 224 B/clip; accepts either waveforms
+        (featurized here) or already-featurized (B, 56) rows."""
+        if self._host_audio:
+            if waves.shape[1] != 56:
+                from mec_tpu.native import featurizer
+                waves = featurizer.extract56(waves)
+            return _pad_rows(np.ascontiguousarray(waves, np.float32),
+                             bucket)
         if self._compress:
             packed, scale = wire.encode_pcm12(waves)
             return (_pad_rows(packed, bucket), _pad_rows(scale, bucket))

@@ -329,6 +329,52 @@ class TestWireServing:
             if ref[mod]['confidence'] > 0.6:
                 assert ref[mod]['emotion'] == out[mod]['emotion'], mod
 
+    @pytest.fixture()
+    def host_audio_engine(self, artifacts_dir):
+        """bf16 engine with host featurization forced on: the audio wire
+        is the (B, 56) feature matrix (C++/numpy host frontend) instead
+        of the packed waveform."""
+        from mec_tpu.config import Config
+        from mec_tpu.serving import engine as eng
+        old_dtype = Config.COMPUTE_DTYPE
+        old_ha = Config.HOST_AUDIO_FEATURES
+        Config.COMPUTE_DTYPE = 'bfloat16'
+        Config.HOST_AUDIO_FEATURES = '1'
+        try:
+            e = eng.EmotionEngine(models_dir=artifacts_dir)
+            assert e._host_audio
+            yield e
+        finally:
+            Config.COMPUTE_DTYPE = old_dtype
+            Config.HOST_AUDIO_FEATURES = old_ha
+
+    def test_host_audio_features_decisions_match_fp32(self, live_engine,
+                                                      host_audio_engine,
+                                                      tmp_path):
+        """Tri-modal through the host-featurized audio wire must agree
+        with the fp32 parity engine like the waveform wire does."""
+        from PIL import Image
+        audio = _tone_wav(tmp_path, 'ha.wav', rms_target=0.05, freq=330)
+        img_p = str(tmp_path / 'ha.png')
+        rng = np.random.RandomState(5)
+        luma = rng.randint(40, 200, (96, 96, 1)).astype(np.uint8)
+        Image.fromarray(np.repeat(luma, 3, axis=-1)).save(img_p)
+        text = 'i am so happy today'
+
+        ref = live_engine.predict_multimodal(audio, text, img_p)
+        out = host_audio_engine.predict_multimodal(audio, text, img_p)
+        for mod in ('speech', 'text', 'image', 'fusion'):
+            pa = np.asarray(ref[mod]['all_probabilities'])
+            pb = np.asarray(out[mod]['all_probabilities'])
+            np.testing.assert_allclose(pa, pb, atol=0.05)
+            if ref[mod]['confidence'] > 0.6:
+                assert ref[mod]['emotion'] == out[mod]['emotion'], mod
+        # speech batching through the feature wire stays consistent
+        batch = host_audio_engine.predict_speech_paths([audio] * 3)
+        np.testing.assert_allclose(
+            np.asarray(batch[0]['all_probabilities']),
+            np.asarray(out['speech']['all_probabilities']), atol=1e-3)
+
     def test_image_wire_vs_raw_same_engine(self, bf16_engine):
         """YUV wire path vs raw path, same bf16 weights: only the codec
         differs, so probabilities must be close on any input."""
