@@ -319,6 +319,22 @@ class EmotionEngine:
             return x
         return jax.device_put(x, batch_sharding(self.mesh))
 
+    def _put(self, x):
+        """Start the host->device transfer of a wire component NOW.
+
+        jax.device_put is async (measured through the axon tunnel:
+        returns in ~5-15 ms while a 3 MB payload streams for ~50-150 ms
+        in the background), so encoding+putting each modality as soon as
+        it is ready overlaps its upload with the remaining host decode
+        work; the later jit dispatch then receives device arrays and
+        returns immediately. Handles the (packed, scale)/(y, uv) wire
+        tuples. Sharded over the data axis under a mesh."""
+        if isinstance(x, (tuple, list)):
+            return tuple(self._put(p) for p in x)
+        if self.mesh is not None:
+            return jax.device_put(x, batch_sharding(self.mesh))
+        return jax.device_put(x)
+
     # ------------------------------------------------------------------
     # jitted graphs
     # ------------------------------------------------------------------
@@ -557,7 +573,7 @@ class EmotionEngine:
         b = self._bucket(waves.shape[0])
         packed = np.asarray(self._speech_jit(
             self.speech['variables'], self.speech['scaler'],
-            self._place(self._wire_waves(waves, b))
+            self._put(self._wire_waves(waves, b))
             ))[:waves.shape[0]]
         return packed[:, :7], packed[:, 7:]
 
@@ -632,8 +648,8 @@ class EmotionEngine:
             list(texts), Config.MAX_TEXT_LENGTH))
         b = self._bucket(ids.shape[0])
         packed = np.asarray(self._bert_jit(
-            self.bert['variables'], self._place(_pad_rows(ids, b)),
-            self._place(_pad_rows(mask, b))))[:ids.shape[0]]
+            self.bert['variables'], self._put(_pad_rows(ids, b)),
+            self._put(_pad_rows(mask, b))))[:ids.shape[0]]
         probs, cls = packed[:, :7], packed[:, 7:]
         out = []
         for i in range(len(texts)):
@@ -653,7 +669,7 @@ class EmotionEngine:
         b = self._bucket(ids.shape[0])
         probs = np.asarray(self._lstm_jit(
             self.lstm['variables'],
-            self._place(_pad_rows(ids, b))))[:len(texts)]
+            self._put(_pad_rows(ids, b))))[:len(texts)]
         return [result_dict(p) for p in probs]
 
     IMAGE_FALLBACK_LABEL = 'neutral'
@@ -672,7 +688,7 @@ class EmotionEngine:
         b = self._bucket(imgs_u8.shape[0])
         packed = np.asarray(self._image_jit(
             self.image['variables'],
-            self._place(self._wire_image(imgs_u8, b))))[:imgs_u8.shape[0]]
+            self._put(self._wire_image(imgs_u8, b))))[:imgs_u8.shape[0]]
         probs, feat = packed[:, :7], packed[:, 7:]
         out = []
         for i in range(imgs_u8.shape[0]):
@@ -785,10 +801,10 @@ class EmotionEngine:
             self.speech['variables'], self.speech['scaler'],
             self.bert['variables'], self.image['variables'],
             self.fusion['variables'],
-            self._place(self._wire_waves(waves, b)),
-            self._place(_pad_rows(ids, b)),
-            self._place(_pad_rows(mask, b)),
-            self._place(self._wire_image(img, b))))[0]
+            self._put(self._wire_waves(waves, b)),
+            self._put(_pad_rows(ids, b)),
+            self._put(_pad_rows(mask, b)),
+            self._put(self._wire_image(img, b))))[0]
         return {
             'speech': result_dict(packed[:7]),
             'text': result_dict(packed[7:14]),
@@ -822,36 +838,57 @@ class EmotionEngine:
                      pool.submit(load_image_uint8,
                                  requests[i]['image_path']))
                     for i in full_idx]
-            good = []
+            # Audio results land first (wav parse is ~10x cheaper than
+            # image decode); encode + device_put the audio wire NOW so
+            # its upload streams while the image decodes finish
+            # (device_put is async — see _put).
+            audio_good = []
             for i, wf, imf in futs:
                 try:
-                    w = wf.result()
+                    audio_good.append((i, wf.result(), imf))
                 except Exception as e:
                     log.warning('batch audio decode failed (%s): %s',
                                 requests[i]['audio_path'], e)
                     imf.cancel()
-                    continue
+            b = self._bucket(len(audio_good)) if audio_good else 0
+            if audio_good:
+                waves = np.stack([w for _i, w, _im in audio_good])
+                w_dev = self._put(self._wire_waves(waves, b))
+                ids, mask = self._seq_slice(
+                    *self.bert_tokenizer.encode_batch(
+                        [requests[i]['text'] for i, _w, _f in audio_good],
+                        Config.MAX_TEXT_LENGTH))
+                ids_dev = self._put(_pad_rows(ids, b))
+                mask_dev = self._put(_pad_rows(mask, b))
+            good = []
+            for j, (i, w, imf) in enumerate(audio_good):
                 try:
                     good.append((i, w, imf.result()))
                 except Exception as e:
                     log.warning('batch image decode failed (%s): %s',
                                 requests[i]['image_path'], e)
+            if len(good) != len(audio_good) and good:
+                # rare: an image decode failed after the audio rows were
+                # already streaming — rebuild the (cheap) host-side parts
+                # for the surviving rows only
+                b = self._bucket(len(good))
+                waves = np.stack([w for _i, w, _im in good])
+                w_dev = self._put(self._wire_waves(waves, b))
+                ids, mask = self._seq_slice(
+                    *self.bert_tokenizer.encode_batch(
+                        [requests[i]['text'] for i, _w, _im in good],
+                        Config.MAX_TEXT_LENGTH))
+                ids_dev = self._put(_pad_rows(ids, b))
+                mask_dev = self._put(_pad_rows(mask, b))
             full_idx = [i for i, _w, _im in good]
         if all_live and full_idx:
-            waves = np.stack([w for _i, w, _im in good])
             imgs = np.stack([im for _i, _w, im in good])
-            ids, mask = self._seq_slice(*self.bert_tokenizer.encode_batch(
-                [requests[i]['text'] for i in full_idx],
-                Config.MAX_TEXT_LENGTH))
-            b = self._bucket(len(full_idx))
             packed = np.asarray(self._trimodal_jit(
                 self.speech['variables'], self.speech['scaler'],
                 self.bert['variables'], self.image['variables'],
                 self.fusion['variables'],
-                self._place(self._wire_waves(waves, b)),
-                self._place(_pad_rows(ids, b)),
-                self._place(_pad_rows(mask, b)),
-                self._place(self._wire_image(imgs, b))))
+                w_dev, ids_dev, mask_dev,
+                self._put(self._wire_image(imgs, b))))
             for j, i in enumerate(full_idx):
                 row = packed[j]
                 out[i] = {
