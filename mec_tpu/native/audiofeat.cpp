@@ -27,7 +27,7 @@
 // frontend stay ~1e-3 absolute on MFCC/dB scales, inside the error the
 // 12-bit PCM wire already introduced.
 //
-// Built on demand by mec_tpu/native/build.py (g++ -O2 -shared).
+// Built on demand by mec_tpu/native/build.py (g++ -O3 -march=native).
 
 #include <algorithm>
 #include <cmath>

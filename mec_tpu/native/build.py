@@ -22,6 +22,19 @@ def _build_dir() -> str:
     return os.path.join(tempfile.gettempdir(), 'mec_tpu_native')
 
 
+# -ffp-contract=off: the wire codecs pin float32 numerics against their
+# numpy references; FMA contraction would reassociate those expressions.
+# -O3 for auto-vectorization of the featurizer's FFT/filter loops (IEEE
+# semantics preserved — no -ffast-math). -fno-math-errno: libm calls
+# (nearbyintf, sqrtf, ...) vectorize; nobody reads errno and IEEE results
+# are unchanged. -march=native: the default x86-64 baseline is SSE2-only,
+# which blocks all float vectorization (roundps needs SSE4.1); the build
+# cache is per-machine so native is safe. Contraction stays off, so
+# element float semantics are unchanged vs the numpy references.
+_FLAGS = ['-O3', '-march=native', '-shared', '-fPIC', '-std=c++17',
+          '-ffp-contract=off', '-fno-math-errno', '-pthread']
+
+
 def load_library(name: str) -> Optional[ctypes.CDLL]:
     """Compile mec_tpu/native/<name>.cpp (if needed) and dlopen it.
 
@@ -34,20 +47,18 @@ def load_library(name: str) -> Optional[ctypes.CDLL]:
         src = os.path.join(_HERE, f'{name}.cpp')
         try:
             with open(src, 'rb') as f:
-                digest = hashlib.sha256(f.read()).hexdigest()[:16]
+                # cache key covers the source AND the flags, so flag
+                # changes rebuild instead of reusing a stale .so
+                digest = hashlib.sha256(
+                    f.read() + ' '.join(_FLAGS).encode()
+                ).hexdigest()[:16]
             out_dir = _build_dir()
             os.makedirs(out_dir, exist_ok=True)
             so_path = os.path.join(out_dir, f'lib{name}-{digest}.so')
             if not os.path.exists(so_path):
                 tmp = so_path + f'.tmp{os.getpid()}'
-                # -ffp-contract=off: the wire codecs pin float32 numerics
-                # against their numpy references; FMA contraction would
-                # reassociate those expressions on some targets. -O3 for
-                # auto-vectorization of the featurizer's FFT/filter loops
-                # (IEEE semantics preserved — no -ffast-math).
                 subprocess.run(
-                    ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-                     '-ffp-contract=off', '-pthread', src, '-o', tmp],
+                    ['g++', *_FLAGS, src, '-o', tmp],
                     check=True, capture_output=True)
                 os.replace(tmp, so_path)
             lib = ctypes.CDLL(so_path)

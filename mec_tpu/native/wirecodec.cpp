@@ -13,7 +13,7 @@
 // contraction cannot reassociate the YUV dot products); tests/test_wire.py
 // pins pcm12 cpp==numpy bitwise and yuv420 to <=1 code.
 //
-// Built on demand by mec_tpu/native/build.py (g++ -O2 -shared);
+// Built on demand by mec_tpu/native/build.py (g++ -O3 -march=native);
 // loaded via ctypes from mec_tpu/native/wirecodec.py.
 
 #include <algorithm>
@@ -32,15 +32,19 @@ void pcm12_clip(const float* x, int64_t n, uint8_t* out, float* scale_out) {
     float m = 1e-6f;
     for (int64_t i = 0; i < n; ++i) m = std::max(m, std::fabs(x[i]));
     *scale_out = m;
-    // Divide like the numpy reference (waves / scale * 2047): a
-    // multiply by the reciprocal differs by 1 code whenever scale < 1,
-    // and the test pins bitwise equality.
+    // Two passes so the quantizer auto-vectorizes (vdivps + vroundps
+    // keep the numpy reference's bitwise semantics: the divide is NOT a
+    // reciprocal multiply — that differs by 1 code whenever scale < 1 —
+    // and vroundps is the same round-half-to-even as nearbyintf).
+    std::vector<uint16_t> codes((size_t)n);
+    uint16_t* c = codes.data();
+    for (int64_t i = 0; i < n; ++i) {
+        const float q = std::nearbyintf(x[i] / m * kQ12);
+        c[i] = (uint16_t)(std::clamp(q, -kQ12, kQ12) + 2048.0f);
+    }
     // two samples -> three bytes: [u0>>4, (u0&15)<<4 | u1>>8, u1&255]
     for (int64_t i = 0; i < n; i += 2) {
-        float q0 = std::nearbyintf(x[i] / m * kQ12);
-        float q1 = std::nearbyintf(x[i + 1] / m * kQ12);
-        uint32_t u0 = (uint32_t)(std::clamp(q0, -kQ12, kQ12) + 2048.0f);
-        uint32_t u1 = (uint32_t)(std::clamp(q1, -kQ12, kQ12) + 2048.0f);
+        const uint32_t u0 = c[i], u1 = c[i + 1];
         uint8_t* o = out + (i / 2) * 3;
         o[0] = (uint8_t)(u0 >> 4);
         o[1] = (uint8_t)(((u0 & 15u) << 4) | (u1 >> 8));
@@ -59,29 +63,39 @@ inline uint8_t q8(float v) {
 
 void yuv420_image(const uint8_t* rgb, int h, int w,
                   uint8_t* y_out, uint8_t* uv_out) {
-    // One pass over 2x2 blocks: emit 4 Y samples and the block-mean
-    // U/V. Mean matches numpy's reshape(...).mean(axis=(2,4)):
+    // Row-pair processing: a vectorizable full-row pass computes Y and
+    // float U/V rows, then the 2x2 subsample reduces the two row
+    // buffers. Mean matches numpy's reshape(...).mean(axis=(2,4)):
     // pairwise sum over the 2x2 cell, divided by 4.
+    std::vector<float> ubuf((size_t)2 * w), vbuf((size_t)2 * w);
     for (int by = 0; by < h / 2; ++by) {
-        for (int bx = 0; bx < w / 2; ++bx) {
-            float us[2][2], vs[2][2];
-            for (int dy = 0; dy < 2; ++dy) {
-                for (int dx = 0; dx < 2; ++dx) {
-                    int yy = 2 * by + dy, xx = 2 * bx + dx;
-                    const uint8_t* p = rgb + ((int64_t)yy * w + xx) * 3;
-                    float r = (float)p[0], g = (float)p[1], b = (float)p[2];
-                    float y = kKR * r + kKG * g + kKB * b;
-                    y_out[(int64_t)yy * w + xx] = q8(y);
-                    us[dy][dx] = (b - y) * kCU + 128.0f;
-                    vs[dy][dx] = (r - y) * kCV + 128.0f;
-                }
+        for (int dy = 0; dy < 2; ++dy) {
+            const int yy = 2 * by + dy;
+            const uint8_t* row = rgb + (int64_t)yy * w * 3;
+            uint8_t* yrow = y_out + (int64_t)yy * w;
+            float* ur = &ubuf[(size_t)dy * w];
+            float* vr = &vbuf[(size_t)dy * w];
+            for (int xx = 0; xx < w; ++xx) {
+                const float r = (float)row[3 * xx];
+                const float g = (float)row[3 * xx + 1];
+                const float b = (float)row[3 * xx + 2];
+                const float y = kKR * r + kKG * g + kKB * b;
+                yrow[xx] = q8(y);
+                ur[xx] = (b - y) * kCU + 128.0f;
+                vr[xx] = (r - y) * kCV + 128.0f;
             }
+        }
+        uint8_t* o = uv_out + (int64_t)by * (w / 2) * 2;
+        for (int bx = 0; bx < w / 2; ++bx) {
             // numpy mean over a (2, 2) cell: (a+b) + (c+d), then /4
-            float u = ((us[0][0] + us[0][1]) + (us[1][0] + us[1][1])) / 4.0f;
-            float v = ((vs[0][0] + vs[0][1]) + (vs[1][0] + vs[1][1])) / 4.0f;
-            uint8_t* o = uv_out + ((int64_t)by * (w / 2) + bx) * 2;
-            o[0] = q8(u);
-            o[1] = q8(v);
+            const float u = ((ubuf[2 * bx] + ubuf[2 * bx + 1])
+                             + (ubuf[w + 2 * bx] + ubuf[w + 2 * bx + 1]))
+                            / 4.0f;
+            const float v = ((vbuf[2 * bx] + vbuf[2 * bx + 1])
+                             + (vbuf[w + 2 * bx] + vbuf[w + 2 * bx + 1]))
+                            / 4.0f;
+            o[2 * bx] = q8(u);
+            o[2 * bx + 1] = q8(v);
         }
     }
 }
