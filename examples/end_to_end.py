@@ -68,6 +68,47 @@ def make_text_corpus(per_class: int = 20):
     return np.array(texts, dtype=object), np.array(labels, np.int32)
 
 
+# Distinct base hue per emotion: color is the learnable signature the
+# way tone frequency is for the speech corpus.
+EMOTION_HUES = {e: (30 * i) / 210.0 for i, e in enumerate(Config.EMOTIONS)}
+
+
+def make_image_corpus(img_size: int = 96, per_class: int = 14):
+    """Color-signature face placeholders: each emotion gets a hue band
+    plus luminance noise, so ResNet genuinely has signal to learn."""
+    import colorsys
+    rng = np.random.RandomState(2)
+    imgs, labels = [], []
+    for idx, emotion in enumerate(Config.EMOTIONS):
+        base = np.array(colorsys.hsv_to_rgb(
+            EMOTION_HUES[emotion], 0.6, 0.8)) * 255.0
+        for _ in range(per_class):
+            img = np.tile(base, (img_size, img_size, 1))
+            img += rng.randn(img_size, img_size, 3) * 25.0
+            # a dark ellipse as the face placeholder
+            yy, xx = np.mgrid[0:img_size, 0:img_size]
+            c = img_size / 2.0
+            mask = (((yy - c) / (0.38 * img_size)) ** 2
+                    + ((xx - c) / (0.30 * img_size)) ** 2) < 1.0
+            img[mask] *= rng.uniform(0.45, 0.7)
+            imgs.append(np.clip(img, 0, 255).astype(np.uint8))
+            labels.append(idx)
+    return np.stack(imgs), np.array(labels, np.int32)
+
+
+def make_bert_tokenizer(texts):
+    """WordPiece tokenizer over the demo corpus vocabulary (the reference
+    downloads bert-base-uncased's vocab; the demo stays hermetic)."""
+    import string
+    from mec_tpu.text.wordpiece import WordPieceTokenizer
+    words = sorted({w for t in texts for w in str(t).split()})
+    tokens = ['[PAD]', '[UNK]', '[CLS]', '[SEP]', '[MASK]']
+    tokens += list(string.ascii_lowercase)
+    tokens += ['##' + c for c in string.ascii_lowercase]
+    tokens += [w for w in words if w not in tokens]
+    return WordPieceTokenizer({t: i for i, t in enumerate(tokens)})
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--workdir', default='/tmp/mec_demo')
@@ -97,14 +138,46 @@ def main(argv=None):
         batch_size=16, max_length=24, models_dir=models_dir, verbose=False)
     print(f'   lstm val_acc: {max(hist["val_acc"]):.2f}')
 
-    print('== 3. fusion (synthetic features) ==')
+    print('== 3. text: BERT fine-tune (from-scratch tiny encoder) ==')
+    from mec_tpu.training import train_text_bert
+    tok = make_bert_tokenizer(texts)
+    bert_kwargs = dict(vocab_size=len(tok.vocab), hidden_size=64,
+                       num_layers=2, num_heads=2, intermediate_size=128)
+    _, hist = train_text_bert.train(
+        csv_path=None, texts=texts, labels=labels, tokenizer=tok,
+        epochs=args.epochs, batch_size=16, max_length=24,
+        learning_rate=5e-4, model_kwargs=bert_kwargs,
+        models_dir=os.path.join(models_dir, 'bert_model'), verbose=False)
+    print(f'   bert val_acc: {max(hist["val_acc"]):.2f}')
+
+    print('== 4. image: ResNet50 two-phase fine-tune ==')
+    img_size = 96 if args.cpu else 224
+    imgs, img_labels = make_image_corpus(img_size=img_size)
+    from mec_tpu.training import train_image
+    # From-scratch backbone: phase 1 (frozen backbone) is one epoch of
+    # head warmup only — the reference freezes a PRETRAINED backbone,
+    # which is not downloadable here.
+    _, hist = train_image.train(
+        data_root=None, imgs=imgs, labels=img_labels, img_size=img_size,
+        epochs=max(8, args.epochs), phase1_epochs=1, batch_size=16,
+        learning_rate=1e-3, models_dir=models_dir,
+        bf16=not args.cpu, verbose=False)
+    best_acc = max(hist['phase1']['val_acc']
+                   + (hist['phase2']['val_acc'] if hist['phase2'] else []))
+    print(f'   image val_acc: {best_acc:.2f}')
+
+    print('== 5. fusion (synthetic features, dims matched to the demo '
+          'encoders) ==')
     from mec_tpu.training import train_fusion
-    _, _, hist = train_fusion.train(num_samples=700, epochs=5,
+    dataset = train_fusion.generate_synthetic_data(
+        1500, dims={'speech': 64, 'text': bert_kwargs['hidden_size'],
+                    'image': 512})
+    _, _, hist = train_fusion.train(dataset=dataset, epochs=8,
                                     batch_size=64, models_dir=models_dir,
                                     verbose=False)
     print(f'   fusion val_acc: {max(hist["val_acc"]):.2f}')
 
-    print('== 4. serve the artifacts ==')
+    print('== 6. serve the artifacts ==')
     from mec_tpu.serving.engine import EmotionEngine
     engine = EmotionEngine(models_dir=models_dir)
     clip = os.path.join(speech_root, 'angry', '0.wav')
@@ -114,10 +187,21 @@ def main(argv=None):
     r = engine.predict_texts_lstm(['this makes me furious and mad'])[0]
     print(f"   lstm('furious...') -> {r['emotion']} "
           f"({r['confidence']:.2f})")
+    r = engine.predict_texts(['this makes me furious and mad'])[0]
+    print(f"   bert('furious...') -> {r['emotion']} "
+          f"({r['confidence']:.2f})")
+    from PIL import Image
+    angry_img, _ = make_image_corpus(img_size=224, per_class=1)
+    img_path = os.path.join(args.workdir, 'angry_sample.png')
+    Image.fromarray(angry_img[Config.EMOTIONS.index('angry')]).save(
+        img_path)
     results = engine.predict_multimodal(
-        audio_path=clip, text='this makes me furious and mad')
-    print(f"   multimodal fusion -> {results['fusion']['emotion']} "
-          f"({results['fusion']['confidence']:.2f})")
+        audio_path=clip, text='this makes me furious and mad',
+        image_path=img_path)
+    for mod in ('speech', 'text', 'image', 'fusion'):
+        if mod in results:
+            print(f"   multimodal[{mod}] -> {results[mod]['emotion']} "
+                  f"({results[mod]['confidence']:.2f})")
     print('done.')
 
 

@@ -32,13 +32,21 @@ from mec_tpu.parallel.mesh import make_mesh
 from mec_tpu.training import common, metrics
 
 
-def generate_synthetic_data(num_samples: int = 10000, seed: int = 42
+def generate_synthetic_data(num_samples: int = 10000, seed: int = 42,
+                            dims: Optional[dict] = None
                             ) -> Tuple[np.ndarray, ...]:
     """Class-correlated Gaussians + Dirichlet-noised peaked predictions,
-    vectorized (the reference builds sample-by-sample in Python)."""
+    vectorized (the reference builds sample-by-sample in Python).
+
+    `dims` overrides the per-modality feature widths (default: the
+    reference's fixed encoders — speech penultimate 64, BERT CLS 768,
+    image head 512, reference train_fusion_model.py:457-519). Pass the
+    actual encoder widths when the served models are non-default, e.g. a
+    small from-scratch BERT — the serving engine only runs attention
+    fusion when the fusion config matches what the encoders emit."""
     rng = np.random.RandomState(seed)
     C = Config.NUM_EMOTIONS
-    dims = {'speech': 64, 'text': 768, 'image': 512}
+    dims = dict(dims or {'speech': 64, 'text': 768, 'image': 512})
     shifts = {'speech': 0.3, 'text': 0.2, 'image': 0.25}
     peaks = {'speech': (0.3, 0.6), 'text': (0.4, 0.7), 'image': (0.2, 0.5)}
 

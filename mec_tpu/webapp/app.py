@@ -81,6 +81,7 @@ URL_MAP = Map([
          methods=['DELETE']),
     Rule('/api/statistics', endpoint='api_statistics'),
     Rule('/api/metrics', endpoint='api_metrics'),
+    Rule('/api/metrics/stream', endpoint='api_metrics_stream'),
 ])
 
 
@@ -651,6 +652,40 @@ class EmotionApp:
                         'f1': m.f1_score, 'date': m.training_date}
                        for m in self.db.get_model_metrics()],
         })
+
+    def api_metrics_stream(self, request, session):
+        """Server-Sent Events stream of the live serving metrics
+        (stage timers + batcher coalescing stats; additive — the
+        reference has no live observability, SURVEY.md §5). Bounded to
+        `ticks` frames (default 60, cap 600) so an abandoned browser tab
+        cannot pin a worker thread forever; clients reconnect — that is
+        SSE's native model."""
+        import time as _time
+        try:
+            ticks = max(1, min(int(request.args.get('ticks', '60')), 600))
+        except ValueError:
+            ticks = 60
+        try:
+            interval = min(max(
+                float(request.args.get('interval', '1')), 0.2), 30.0)
+        except ValueError:
+            interval = 1.0
+
+        def frames():
+            for i in range(ticks):
+                payload = json.dumps({
+                    'ts': _time.time(),
+                    'stages': timer.summary(),
+                    'batcher': (self._batcher.stats()
+                                if self._batcher else {}),
+                })
+                yield f'data: {payload}\n\n'
+                if i + 1 < ticks:
+                    _time.sleep(interval)
+
+        return Response(frames(), mimetype='text/event-stream',
+                        headers={'Cache-Control': 'no-cache',
+                                 'X-Accel-Buffering': 'no'})
 
 
 def create_app(db=None, engine=None, testing: bool = False,

@@ -193,6 +193,22 @@ def test_api_metrics(client):
     assert 'stages' in r.json
 
 
+def test_api_metrics_stream(client):
+    """SSE stream: bounded frame count, data: framing, parseable JSON."""
+    import json as _json
+    client.get('/')
+    r = client.get('/api/metrics/stream?ticks=2&interval=0.2')
+    assert r.status_code == 200
+    assert r.mimetype == 'text/event-stream'
+    body = r.get_data(as_text=True)
+    frames = [f for f in body.split('\n\n') if f.strip()]
+    assert len(frames) == 2
+    for f in frames:
+        assert f.startswith('data: ')
+        payload = _json.loads(f[len('data: '):])
+        assert 'stages' in payload and 'ts' in payload
+
+
 def test_rate_limiter_sliding_window(monkeypatch):
     """Pin the reference's Flask-Limiter semantics (reference
     app.py:63-75,130,156): N requests pass, N+1 inside the window is
