@@ -63,10 +63,12 @@ def main():
              engine.fusion['variables'])
 
     def dispatch_only():
+        # _put, not _place: mirrors the production dispatch (async
+        # device_put of each wire component; see engine._put)
         return engine._trimodal_jit(
             *margs,
-            engine._place(w_wire), engine._place(_pad_rows(ids, BATCH)),
-            engine._place(_pad_rows(mask, BATCH)), engine._place(i_wire))
+            engine._put(w_wire), engine._put(_pad_rows(ids, BATCH)),
+            engine._put(_pad_rows(mask, BATCH)), engine._put(i_wire))
 
     timeit('dispatch (async return)', dispatch_only)
 

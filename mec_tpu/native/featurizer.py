@@ -78,7 +78,10 @@ def extract56(waves: np.ndarray) -> np.ndarray:
     if waves.ndim == 1:
         waves = waves[None, :]
     lib = _lib()
-    if lib is None:
+    # The native tables are built for Config.AUDIO_SAMPLES-length clips;
+    # any other length must take the (length-generic) numpy path or the
+    # C loop would stride past the buffer.
+    if lib is None or waves.shape[1] != Config.AUDIO_SAMPLES:
         from mec_tpu.ops import host_features
         return host_features.features_56_np(waves)
     waves = np.ascontiguousarray(waves)

@@ -120,10 +120,20 @@ class EmotionEngine:
         # 'auto' = only on multi-core hosts, where the C++ featurizer
         # threads across clips and beats the upload it replaces).
         ha = str(Config.HOST_AUDIO_FEATURES).lower()
+
+        def _auto_host_audio() -> bool:
+            if (os.cpu_count() or 1) < 4:
+                return False
+            # auto's rationale is the threaded C++ featurizer; without a
+            # compiler the numpy fallback would be a latency regression
+            # over the on-device frontend — keep the waveform wire.
+            from mec_tpu.native import featurizer
+            return featurizer.have_native()
+
         self._host_audio = (
             self.compute_dtype == jnp.bfloat16
             and (ha in ('1', 'true', 'yes', 'on')
-                 or (ha == 'auto' and (os.cpu_count() or 1) >= 4)))
+                 or (ha == 'auto' and _auto_host_audio())))
         self.speech: Optional[Dict[str, Any]] = None
         self.bert: Optional[Dict[str, Any]] = None
         self.lstm: Optional[Dict[str, Any]] = None
@@ -850,18 +860,24 @@ class EmotionEngine:
                     log.warning('batch audio decode failed (%s): %s',
                                 requests[i]['audio_path'], e)
                     imf.cancel()
-            b = self._bucket(len(audio_good)) if audio_good else 0
-            if audio_good:
-                waves = np.stack([w for _i, w, _im in audio_good])
-                w_dev = self._put(self._wire_waves(waves, b))
-                ids, mask = self._seq_slice(
+
+            def stage_audio_text(rows):
+                """Encode + device_put the audio wire and token ids for
+                `rows` [(req_idx, wave, ...)]; starts their uploads."""
+                sb = self._bucket(len(rows))
+                sw = np.stack([w for _i, w, _x in rows])
+                w_d = self._put(self._wire_waves(sw, sb))
+                s_ids, s_mask = self._seq_slice(
                     *self.bert_tokenizer.encode_batch(
-                        [requests[i]['text'] for i, _w, _f in audio_good],
+                        [requests[i]['text'] for i, _w, _x in rows],
                         Config.MAX_TEXT_LENGTH))
-                ids_dev = self._put(_pad_rows(ids, b))
-                mask_dev = self._put(_pad_rows(mask, b))
+                return (sb, w_d, self._put(_pad_rows(s_ids, sb)),
+                        self._put(_pad_rows(s_mask, sb)))
+
+            if audio_good:
+                b, w_dev, ids_dev, mask_dev = stage_audio_text(audio_good)
             good = []
-            for j, (i, w, imf) in enumerate(audio_good):
+            for i, w, imf in audio_good:
                 try:
                     good.append((i, w, imf.result()))
                 except Exception as e:
@@ -869,17 +885,9 @@ class EmotionEngine:
                                 requests[i]['image_path'], e)
             if len(good) != len(audio_good) and good:
                 # rare: an image decode failed after the audio rows were
-                # already streaming — rebuild the (cheap) host-side parts
+                # already streaming — restage the (cheap) host-side parts
                 # for the surviving rows only
-                b = self._bucket(len(good))
-                waves = np.stack([w for _i, w, _im in good])
-                w_dev = self._put(self._wire_waves(waves, b))
-                ids, mask = self._seq_slice(
-                    *self.bert_tokenizer.encode_batch(
-                        [requests[i]['text'] for i, _w, _im in good],
-                        Config.MAX_TEXT_LENGTH))
-                ids_dev = self._put(_pad_rows(ids, b))
-                mask_dev = self._put(_pad_rows(mask, b))
+                b, w_dev, ids_dev, mask_dev = stage_audio_text(good)
             full_idx = [i for i, _w, _im in good]
         if all_live and full_idx:
             imgs = np.stack([im for _i, _w, im in good])

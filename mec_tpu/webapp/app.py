@@ -660,16 +660,22 @@ class EmotionApp:
         `ticks` frames (default 60, cap 600) so an abandoned browser tab
         cannot pin a worker thread forever; clients reconnect — that is
         SSE's native model."""
+        import math
         import time as _time
         try:
             ticks = max(1, min(int(request.args.get('ticks', '60')), 600))
         except ValueError:
             ticks = 60
         try:
-            interval = min(max(
-                float(request.args.get('interval', '1')), 0.2), 30.0)
+            interval = float(request.args.get('interval', '1'))
         except ValueError:
             interval = 1.0
+        if not math.isfinite(interval):  # NaN passes through min/max
+            interval = 1.0
+        interval = min(max(interval, 0.2), 30.0)
+        # bound the TOTAL stream duration, not just the factors — one
+        # request must not pin a worker thread for ticks*interval hours
+        ticks = min(ticks, max(1, int(300.0 / interval)))
 
         def frames():
             for i in range(ticks):
