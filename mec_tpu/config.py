@@ -168,6 +168,14 @@ class Config:
     # ships PCM16 audio + raw uint8 RGB. See mec_tpu.serving.wire.
     WIRE_COMPRESS = _env_flag('MEC_WIRE_COMPRESS', True)
 
+    # Store serving weights as bfloat16 in HBM. MEASURED NEGATIVE on the
+    # v5e (2026-08-17): the fused tri-modal device step REGRESSED 3,263
+    # -> 2,518 preds/s at batch 32 — XLA's per-use fp32->bf16 convert
+    # fuses into the weight read for free, while bf16-resident params
+    # appear to pay relayout/upcast costs elsewhere. Default off; knob
+    # kept for other model/batch regimes. No effect in fp32 parity mode.
+    BF16_PARAMS = _env_flag('MEC_BF16_PARAMS', False)
+
     # Perf-mode host audio featurization: compute the 56-dim frontend on
     # the host (C++ single-pass, mec_tpu/native/audiofeat.cpp) and ship
     # 224 B of features per clip instead of the ~99 KB packed waveform.

@@ -309,13 +309,29 @@ class EmotionEngine:
         # is ~440 MB per request batch — the dominant cost over a remote
         # device link); committed jax.Arrays are reused by reference.
         # Under a multi-device mesh, params replicate across it.
-        sharding = replicated(self.mesh) if self.mesh else None
+        #
+        # MEC_BF16_PARAMS stores the weights as bfloat16 in HBM.
+        # Measured NEGATIVE on the v5e (device step 3,263 -> 2,518
+        # preds/s at batch 32 — see Config.BF16_PARAMS), so default off;
+        # BN/LayerNorm statistics ('batch_stats') stay fp32 either way.
+        cast_bf16 = (self.compute_dtype == jnp.bfloat16
+                     and Config.BF16_PARAMS)
+
+        def _commit(tree):
+            if cast_bf16:
+                tree = dict(tree)
+                tree['params'] = jax.tree_util.tree_map(
+                    lambda x: (x.astype(jnp.bfloat16)
+                               if getattr(x, 'dtype', None) == np.float32
+                               else x), tree['params'])
+            sharding = replicated(self.mesh) if self.mesh else None
+            return (jax.device_put(tree, sharding) if sharding
+                    else jax.device_put(tree))
+
         for art in (self.speech, self.bert, self.lstm, self.image,
                     self.fusion):
             if art is not None:
-                art['variables'] = (jax.device_put(art['variables'], sharding)
-                                    if sharding
-                                    else jax.device_put(art['variables']))
+                art['variables'] = _commit(art['variables'])
 
     def _bucket(self, n: int) -> int:
         """Bucket size for n rows, rounded so it splits over the mesh."""
