@@ -159,7 +159,8 @@ class Config:
     # additive bias of the dtype's min, so their attention weight
     # underflows to 0.0 and removing them cannot change any logit.
     SEQ_BUCKETS = tuple(
-        int(x) for x in os.environ.get('MEC_SEQ_BUCKETS', '32,128').split(',')
+        int(x) for x in os.environ.get('MEC_SEQ_BUCKETS',
+                                       '16,32,128').split(',')
         if x.strip())
 
     # Compressed host->device wire formats in perf mode (packed 12-bit
