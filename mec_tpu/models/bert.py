@@ -80,6 +80,7 @@ class BertForSequenceClassification(nn.Module):
     type_vocab_size: int = 2
     num_classes: int = 7
     dtype: jnp.dtype = jnp.float32
+    dropout_rate: float = 0.1  # HF hidden_dropout_prob (train only)
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
@@ -101,7 +102,8 @@ class BertForSequenceClassification(nn.Module):
         hidden = word + pos + tok
         hidden = nn.LayerNorm(epsilon=1e-12, use_fast_variance=False, dtype=self.dtype,
                               name='embeddings_norm')(hidden)
-        hidden = nn.Dropout(0.1, deterministic=not train)(hidden)
+        hidden = nn.Dropout(self.dropout_rate,
+                            deterministic=not train)(hidden)
 
         # HF-style additive mask: 0 where attended, dtype-min where padded
         neg = jnp.finfo(self.dtype if self.dtype != jnp.bfloat16
@@ -118,7 +120,8 @@ class BertForSequenceClassification(nn.Module):
         pooled = nn.Dense(self.hidden_size, dtype=self.dtype,
                           name='pooler')(cls)
         pooled = jnp.tanh(pooled)
-        pooled = nn.Dropout(0.1, deterministic=not train)(pooled)
+        pooled = nn.Dropout(self.dropout_rate,
+                            deterministic=not train)(pooled)
         logits = nn.Dense(self.num_classes, dtype=self.dtype,
                           name='classifier')(pooled)
         return logits.astype(jnp.float32), cls.astype(jnp.float32)

@@ -88,7 +88,8 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
           mesh_data: int = 0, mesh_model: int = 0, seed: int = 42,
           model_kwargs: Optional[dict] = None,
           tokenizer: Optional[WordPieceTokenizer] = None,
-          texts=None, labels=None, verbose: bool = True):
+          texts=None, labels=None, verbose: bool = True,
+          seq_bucket: bool = True):
     log = print if verbose else (lambda *_a, **_k: None)
     if texts is None:
         texts, labels = data.load_text_dataset(csv_path, fold_labels=False,
@@ -106,6 +107,29 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
     tr, va = metrics.train_test_split_stratified(len(texts), labels,
                                                  0.15, seed=42)
     ids, mask = tokenize_corpus(tokenizer, texts, max_length)
+    if seq_bucket:
+        # Slice the whole corpus to the smallest Config.SEQ_BUCKETS
+        # bucket covering its longest sequence. The dropped columns are
+        # all-padding for every sample (attention-masked to weight 0.0,
+        # CLS pooling at position 0), so loss and gradients are
+        # unchanged (byte-equal weights with dropout_rate=0, pinned by
+        # tests/test_training.py::test_bert_trainer_seq_bucket_exact;
+        # with dropout on, only the mask sampling differs — same
+        # distribution). The reference pads everything to 128
+        # (reference model_training/train_text_model.py:40-69) and pays
+        # linear cost in the padded length for no signal.
+        longest = int(mask.sum(axis=1).max()) if mask.size else 1
+        # Floor of 32: the TRAINING step measured SLOWER at seq 16 than
+        # 32 on the v5e (14.5-17.3 vs 12.0 ms at batch 32 bf16 — the
+        # backward gemms drop below the MXU efficiency knee), while the
+        # serving forward measured faster at 16. Different bucket floors
+        # for the two paths, both from measurement.
+        for s in sorted(set(Config.SEQ_BUCKETS)):
+            if longest <= s < max_length and s >= 32:
+                ids, mask = ids[:, :s], mask[:, :s]
+                log(f'corpus max {longest} tokens; padded length {s} '
+                    f'(exact w.r.t. the attention mask)')
+                break
     train_data = {'ids': ids[tr], 'mask': mask[tr],
                   'label': np.asarray(labels)[tr]}
     val_data = {'ids': ids[va], 'mask': mask[va],
@@ -186,11 +210,17 @@ def main(argv=None):
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 compute (params stay float32): 3.3x '
                         'step rate on the v5e (29 vs 95 ms at batch 32)')
+    p.add_argument('--no-seq-bucket', action='store_true',
+                   help='pad every text to --max-length like the '
+                        'reference instead of the smallest covering '
+                        'bucket (bucketing is exact w.r.t. the '
+                        'attention mask)')
     args = p.parse_args(argv)
     train(args.csv, args.epochs, args.batch_size, args.learning_rate,
           args.max_length, args.models_dir, args.pretrained_dir,
           args.mesh_data, args.mesh_model,
-          model_kwargs={'dtype': jnp.bfloat16} if args.bf16 else None)
+          model_kwargs={'dtype': jnp.bfloat16} if args.bf16 else None,
+          seq_bucket=not args.no_seq_bucket)
 
 
 if __name__ == '__main__':

@@ -111,6 +111,42 @@ def test_bert_trainer_tiny_with_tp(models_dir):
     assert os.path.exists(os.path.join(bert_dir, 'vocab.txt'))
 
 
+def test_bert_trainer_seq_bucket_exact(models_dir):
+    """Training with the corpus sliced to its covering seq bucket must
+    produce the SAME weights as reference-style full-length padding
+    (the dropped columns are all-padding, attention-masked to 0)."""
+    import jax
+    from mec_tpu.text.wordpiece import WordPieceTokenizer
+    from mec_tpu.training import train_text_bert
+    texts = np.array(['happy day', 'sad news', 'angry you', 'fear me',
+                      'disgust it', 'surprise wow', 'neutral meh'] * 4,
+                     dtype=object)
+    labels = np.array(list(range(7)) * 4, dtype=np.int32)
+    vocab = {'[PAD]': 0, '[UNK]': 1, '[CLS]': 2, '[SEP]': 3}
+    for w in set(' '.join(map(str, texts)).split()):
+        vocab.setdefault(w, len(vocab))
+    tok = WordPieceTokenizer(vocab)
+    # dropout off: its mask shapes depend on the padded length, which
+    # would make the comparison stochastic rather than exact
+    kwargs = dict(vocab_size=len(vocab), hidden_size=32, num_layers=1,
+                  num_heads=2, intermediate_size=64, max_position=64,
+                  dropout_rate=0.0)
+    outs = []
+    for bucket in (True, False):
+        best, _h = train_text_bert.train(
+            csv_path=None, texts=texts, labels=labels, epochs=1,
+            batch_size=8, max_length=48,
+            models_dir=os.path.join(models_dir, f'bseq{bucket}'),
+            tokenizer=tok, model_kwargs=kwargs, verbose=False,
+            seq_bucket=bucket)
+        outs.append(best)
+    flat_a = jax.tree_util.tree_leaves(outs[0])
+    flat_b = jax.tree_util.tree_leaves(outs[1])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
 def test_image_trainer_two_phase(models_dir):
     from mec_tpu.training import train_image
     rng = np.random.RandomState(0)
