@@ -354,9 +354,10 @@ class EmotionEngine:
         it is ready overlaps its upload with the remaining host decode
         work; the later jit dispatch then receives device arrays and
         returns immediately. Handles the (packed, scale)/(y, uv) wire
-        tuples. Sharded over the data axis under a mesh."""
-        if isinstance(x, (tuple, list)):
-            return tuple(self._put(p) for p in x)
+        tuples — jax.device_put takes the whole pytree in ONE call
+        (per-call dispatch overhead is milliseconds on a 1-core host, so
+        group related components into a single put). Sharded over the
+        data axis under a mesh (every leaf is batch-dim-leading)."""
         if self.mesh is not None:
             return jax.device_put(x, batch_sharding(self.mesh))
         return jax.device_put(x)
@@ -674,8 +675,9 @@ class EmotionEngine:
             list(texts), Config.MAX_TEXT_LENGTH))
         b = self._bucket(ids.shape[0])
         packed = np.asarray(self._bert_jit(
-            self.bert['variables'], self._put(_pad_rows(ids, b)),
-            self._put(_pad_rows(mask, b))))[:ids.shape[0]]
+            self.bert['variables'],
+            *self._put((_pad_rows(ids, b),
+                        _pad_rows(mask, b)))))[:ids.shape[0]]
         probs, cls = packed[:, :7], packed[:, 7:]
         out = []
         for i in range(len(texts)):
@@ -827,10 +829,9 @@ class EmotionEngine:
             self.speech['variables'], self.speech['scaler'],
             self.bert['variables'], self.image['variables'],
             self.fusion['variables'],
-            self._put(self._wire_waves(waves, b)),
-            self._put(_pad_rows(ids, b)),
-            self._put(_pad_rows(mask, b)),
-            self._put(self._wire_image(img, b))))[0]
+            *self._put((self._wire_waves(waves, b), _pad_rows(ids, b),
+                        _pad_rows(mask, b),
+                        self._wire_image(img, b)))))[0]
         return {
             'speech': result_dict(packed[:7]),
             'text': result_dict(packed[7:14]),
@@ -882,13 +883,13 @@ class EmotionEngine:
                 `rows` [(req_idx, wave, ...)]; starts their uploads."""
                 sb = self._bucket(len(rows))
                 sw = np.stack([w for _i, w, _x in rows])
-                w_d = self._put(self._wire_waves(sw, sb))
                 s_ids, s_mask = self._seq_slice(
                     *self.bert_tokenizer.encode_batch(
                         [requests[i]['text'] for i, _w, _x in rows],
                         Config.MAX_TEXT_LENGTH))
-                return (sb, w_d, self._put(_pad_rows(s_ids, sb)),
-                        self._put(_pad_rows(s_mask, sb)))
+                return (sb, *self._put((self._wire_waves(sw, sb),
+                                        _pad_rows(s_ids, sb),
+                                        _pad_rows(s_mask, sb))))
 
             if audio_good:
                 b, w_dev, ids_dev, mask_dev = stage_audio_text(audio_good)
