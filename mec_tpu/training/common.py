@@ -9,6 +9,7 @@ axis, so multi-chip data parallelism is placement, not new code.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
@@ -221,6 +222,56 @@ def fit(state: TrainState,
     if mesh is not None:
         state = jax.device_put(state, repl)
 
+    # One-dispatch epochs (single device): stack the epoch's full
+    # batches and lax.scan the train step over them, so the whole inner
+    # loop is ONE device dispatch instead of steps_per_epoch dispatches.
+    # Per-step dispatch round trips dominate training wall-clock on a
+    # remote-attached chip (fusion trainer measured 274 ms/step wall for
+    # a ~1 ms device step through the tunnel). Batch order and the
+    # per-(epoch, step) dropout key stream are IDENTICAL to the loop
+    # path, so the numerics match (pinned by
+    # tests/test_training.py::test_fit_scan_matches_loop); the ragged
+    # tail batch still runs as its own true-shape step. Datasets larger
+    # than MEC_TRAIN_SCAN_MB (the stacked copy lives in HBM alongside
+    # the model) fall back to the per-step loop.
+    scan_limit = float(os.environ.get('MEC_TRAIN_SCAN_MB', '256')) * 1e6
+    epoch_scan = None
+    epoch_gather = None
+    dataset_dev = None   # device-resident dataset (fixed-data trainers)
+    val_scan = None
+    val_stacked_dev = None
+    val_ns = None
+
+    def run_epoch_scanned(state, stacked, ep_key, steps):
+        nonlocal epoch_scan
+        if epoch_scan is None:
+            @jax.jit
+            def _run(state, stacked, ep_key, steps):
+                def body(carry, xs):
+                    batch, step = xs
+                    sub = jax.random.fold_in(ep_key, step)
+                    return train_step(carry, batch, sub)
+                return jax.lax.scan(body, state, (stacked, steps))
+            epoch_scan = _run
+        return epoch_scan(state, stacked, ep_key, steps)
+
+    def run_epoch_gathered(state, data_dev, idxs, ep_key, steps):
+        # dataset stays in HBM; the per-epoch upload is just the
+        # (n_full, batch_size) shuffled row indices
+        nonlocal epoch_gather
+        if epoch_gather is None:
+            @jax.jit
+            def _run(state, data_dev, idxs, ep_key, steps):
+                def body(carry, xs):
+                    sel, step = xs
+                    batch = {k: jnp.take(v, sel, axis=0)
+                             for k, v in data_dev.items()}
+                    sub = jax.random.fold_in(ep_key, step)
+                    return train_step(carry, batch, sub)
+                return jax.lax.scan(body, state, (idxs, steps))
+            epoch_gather = _run
+        return epoch_gather(state, data_dev, idxs, ep_key, steps)
+
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
@@ -231,32 +282,113 @@ def fit(state: TrainState,
         ep_key = jax.random.fold_in(base_key, epoch)
         ep_data = (epoch_transform(epoch, train_data)
                    if epoch_transform is not None else train_data)
-        for step, batch in enumerate(
-                iterate_batches(ep_data, batch_size, ep_rng)):
-            if batch_shard is not None:
-                # mesh sharding needs the static bucket shape; the padded
-                # duplicate rows slightly overweight the tail batch
-                batch, _n = pad_batch(batch, batch_size)
-                batch = jax.device_put(batch, batch_shard)
-            # single-device: train the true ragged tail (one extra
-            # compile) — padding would duplicate rows into the loss mean
-            # and the BatchNorm batch statistics
-            sub = jax.random.fold_in(ep_key, step)
-            state, loss = train_step(state, batch, sub)
-            losses.append(loss)
-        train_loss = float(np.mean([np.asarray(l) for l in losses])) \
+        n_rows = len(next(iter(ep_data.values())))
+        data_bytes = sum(v.nbytes for v in ep_data.values())
+        use_scan = (batch_shard is None and data_bytes <= scan_limit
+                    and n_rows >= 2 * batch_size)
+        if use_scan and epoch_transform is None:
+            # fixed dataset: keep it device-resident across epochs and
+            # ship only the shuffled indices (replicating
+            # iterate_batches' order exactly)
+            if dataset_dev is None:
+                dataset_dev = jax.device_put(train_data)
+            idx = np.arange(n_rows)
+            ep_rng.shuffle(idx)
+            n_full = n_rows // batch_size
+            idxs = idx[:n_full * batch_size].astype(np.int32).reshape(
+                n_full, batch_size)
+            state, scan_losses = run_epoch_gathered(
+                state, dataset_dev, idxs, ep_key,
+                np.arange(n_full, dtype=np.int32))
+            losses.append(scan_losses)
+            tail_sel = idx[n_full * batch_size:]
+            if tail_sel.size:
+                batch = {k: v[tail_sel] for k, v in ep_data.items()}
+                sub = jax.random.fold_in(ep_key, n_full)
+                state, loss = train_step(state, batch, sub)
+                losses.append(loss)
+        elif use_scan:
+            batches = list(iterate_batches(ep_data, batch_size, ep_rng))
+            n_full = len(batches)
+            if len(next(iter(batches[-1].values()))) < batch_size:
+                n_full -= 1
+            stacked = {k: np.stack([b[k] for b in batches[:n_full]])
+                       for k in batches[0]}
+            state, scan_losses = run_epoch_scanned(
+                state, jax.device_put(stacked), ep_key,
+                np.arange(n_full, dtype=np.int32))
+            losses.append(scan_losses)
+            # true-shape ragged tail (one extra compile), same step index
+            # the loop path would have used
+            for toff, batch in enumerate(batches[n_full:]):
+                sub = jax.random.fold_in(ep_key, n_full + toff)
+                state, loss = train_step(state, batch, sub)
+                losses.append(loss)
+        else:
+            for step, batch in enumerate(
+                    iterate_batches(ep_data, batch_size, ep_rng)):
+                if batch_shard is not None:
+                    # mesh sharding needs the static bucket shape; the
+                    # padded duplicate rows slightly overweight the tail
+                    # batch
+                    batch, _n = pad_batch(batch, batch_size)
+                    batch = jax.device_put(batch, batch_shard)
+                # single-device: train the true ragged tail (one extra
+                # compile) — padding would duplicate rows into the loss
+                # mean and the BatchNorm batch statistics
+                sub = jax.random.fold_in(ep_key, step)
+                state, loss = train_step(state, batch, sub)
+                losses.append(loss)
+        train_loss = float(np.mean(np.concatenate(
+            [np.asarray(l).reshape(-1) for l in losses]))) \
             if losses else 0.0
 
-        # validation
+        # validation: under the scan path the fixed, padded val batches
+        # are stacked once, kept on device, and evaluated as ONE scanned
+        # dispatch per epoch (one fetch of all logits) instead of a
+        # round trip per batch
+        if use_scan and len(next(iter(val_data.values()))) > 0:
+            if val_stacked_dev is None:
+                vbatches, val_ns = [], []
+                for batch in iterate_batches(val_data, batch_size, ep_rng,
+                                             shuffle=False):
+                    padded, n = pad_batch(batch, batch_size)
+                    vbatches.append(padded)
+                    val_ns.append(n)
+                val_stacked_dev = jax.device_put(
+                    {k: np.stack([b[k] for b in vbatches])
+                     for k in vbatches[0]})
+
+                @jax.jit
+                def _val_run(variables, stacked):
+                    return jax.lax.scan(
+                        lambda c, b: (c, eval_step(variables, b)),
+                        0, stacked)[1]
+                val_scan = _val_run
+            all_logits = np.asarray(val_scan(state.variables,
+                                             val_stacked_dev))
+            val_batches_iter = [
+                (all_logits[i][:val_ns[i]],
+                 np.asarray(vb['label'][:val_ns[i]]))
+                for i, vb in enumerate(iterate_batches(
+                    val_data, batch_size, ep_rng, shuffle=False))]
+        else:
+            val_batches_iter = None
         val_losses, val_hits, val_count = [], 0, 0
-        for batch in iterate_batches(val_data, batch_size, ep_rng,
-                                     shuffle=False):
-            padded, n = pad_batch(batch, batch_size)
-            if batch_shard is not None:
-                padded = jax.device_put(padded, batch_shard)
-            logits = eval_step(state.variables, padded)
-            logits = np.asarray(logits)[:n]
-            labels = np.asarray(batch['label'][:n])
+        for item in (val_batches_iter if val_batches_iter is not None
+                     else iterate_batches(val_data, batch_size, ep_rng,
+                                          shuffle=False)):
+            if val_batches_iter is not None:
+                logits, labels = item
+                n = len(labels)
+            else:
+                batch = item
+                padded, n = pad_batch(batch, batch_size)
+                if batch_shard is not None:
+                    padded = jax.device_put(padded, batch_shard)
+                logits = eval_step(state.variables, padded)
+                logits = np.asarray(logits)[:n]
+                labels = np.asarray(batch['label'][:n])
             if labels.ndim > 1:
                 labels = labels.argmax(axis=-1)
             logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)

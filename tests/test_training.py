@@ -52,6 +52,28 @@ def test_speech_trainer_end_to_end(models_dir):
     assert len(hist['val_acc']) == 3
 
 
+def test_fit_scan_matches_loop(models_dir, monkeypatch, tmp_path):
+    """The one-dispatch scanned epoch must reproduce the per-step loop
+    exactly: same batch order, same dropout key stream, same weights."""
+    import jax
+    from mec_tpu.training import train_speech
+    X, y = _speech_data()
+    outs = []
+    for i, scan_mb in enumerate(('256', '0')):  # scan path vs loop path
+        monkeypatch.setenv('MEC_TRAIN_SCAN_MB', scan_mb)
+        best, scaler, hist = train_speech.train(
+            X=X, y=y, epochs=2, batch_size=16,
+            models_dir=str(tmp_path / f'm{i}'), verbose=False)
+        outs.append((best, hist))
+    (best_a, hist_a), (best_b, hist_b) = outs
+    np.testing.assert_allclose(hist_a['loss'], hist_b['loss'], atol=1e-5)
+    np.testing.assert_allclose(hist_a['val_acc'], hist_b['val_acc'])
+    for a, b in zip(jax.tree_util.tree_leaves(best_a),
+                    jax.tree_util.tree_leaves(best_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
 def test_speech_trainer_data_parallel(models_dir):
     from mec_tpu.training import train_speech
     X, y = _speech_data()
