@@ -7,6 +7,7 @@ bottom and are all overridable via environment variables.
 """
 
 import os
+import sys
 from datetime import timedelta
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -28,17 +29,30 @@ def load_dotenv(path: str = '.env') -> bool:
         line = line.strip()
         if not line or line.startswith('#'):
             continue
+        if line.startswith('export '):  # shell-style prefix, as dotenv does
+            line = line[len('export '):].lstrip()
         key, sep, value = line.partition('=')
         key, value = key.strip(), value.strip()
         if not sep or not key:
             continue
         if len(value) >= 2 and value[0] == value[-1] and value[0] in '\'"':
             value = value[1:-1]
+        else:
+            # unquoted values: a whitespace-preceded '#' starts a comment
+            for marker in (' #', '\t#'):
+                idx = value.find(marker)
+                if idx != -1:
+                    value = value[:idx].rstrip()
         os.environ.setdefault(key, value)
     return True
 
 
-load_dotenv()
+# Implicit load at import time mirrors the reference (app.py:40), but a
+# stray .env in the CWD must not silently reconfigure tests/benches:
+# pytest runs and MEC_SKIP_DOTENV=1 opt out.
+if os.environ.get('MEC_SKIP_DOTENV', '').strip().lower() not in (
+        '1', 'true', 'yes', 'on') and 'pytest' not in sys.modules:
+    load_dotenv()
 
 
 def _env_flag(name: str, default: bool) -> bool:

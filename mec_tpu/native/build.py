@@ -35,6 +35,28 @@ _FLAGS = ['-O3', '-march=native', '-shared', '-fPIC', '-std=c++17',
           '-ffp-contract=off', '-fno-math-errno', '-pthread']
 
 
+def _cpu_fingerprint() -> bytes:
+    """ISA fingerprint folded into the .so cache key: -march=native
+    binaries are machine-feature-specific, and a build cache shared
+    across heterogeneous hosts (containers mounting the same /tmp) must
+    not dlopen a binary built for another CPU's features (SIGILL — the
+    same failure mode that forced disabling the persistent XLA:CPU
+    compile cache in __graft_entry__.py)."""
+    import platform
+    parts = [platform.machine()]
+    try:
+        with open('/proc/cpuinfo', encoding='utf-8', errors='replace') as f:
+            for line in f:
+                # x86 'flags', arm64 'Features'
+                if line.startswith(('flags', 'Features')):
+                    parts.append(' '.join(sorted(
+                        line.split(':', 1)[1].split())))
+                    break
+    except OSError:
+        pass
+    return '|'.join(parts).encode()
+
+
 def load_library(name: str) -> Optional[ctypes.CDLL]:
     """Compile mec_tpu/native/<name>.cpp (if needed) and dlopen it.
 
@@ -47,10 +69,13 @@ def load_library(name: str) -> Optional[ctypes.CDLL]:
         src = os.path.join(_HERE, f'{name}.cpp')
         try:
             with open(src, 'rb') as f:
-                # cache key covers the source AND the flags, so flag
-                # changes rebuild instead of reusing a stale .so
+                # cache key covers the source, the flags, AND the host
+                # CPU's feature set, so flag changes rebuild instead of
+                # reusing a stale .so and heterogeneous hosts sharing a
+                # build dir never load each other's -march=native code
                 digest = hashlib.sha256(
                     f.read() + ' '.join(_FLAGS).encode()
+                    + _cpu_fingerprint()
                 ).hexdigest()[:16]
             out_dir = _build_dir()
             os.makedirs(out_dir, exist_ok=True)

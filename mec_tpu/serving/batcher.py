@@ -73,8 +73,15 @@ class BatchQueue:
         with self._lock:
             self._stopped = True
         self._wakeup.set()
-        self._thread.join(timeout=2)
-        self._exec.shutdown(wait=True)
+        self._thread.join(timeout=10)
+        # Shut the pool down only once the collector has actually exited:
+        # shutting it while the collector is still blocked in
+        # _slots.acquire() would make its next _exec.submit raise. (The
+        # collector tolerates that race too — see _loop — but a live
+        # daemon collector with a live pool is strictly safer than a dead
+        # one with stranded futures.)
+        if not self._thread.is_alive():
+            self._exec.shutdown(wait=True)
 
     # ------------------------------------------------------------------
     def _loop(self) -> None:
@@ -107,7 +114,13 @@ class BatchQueue:
             if not batch:
                 self._slots.release()
                 continue
-            self._exec.submit(self._run_batch, batch)
+            try:
+                self._exec.submit(self._run_batch, batch)
+            except RuntimeError:
+                # executor already shut down (stop() raced this batch) —
+                # run inline so callers blocked in fut.result() still get
+                # an answer instead of hanging forever
+                self._run_batch(batch)
 
     def _run_batch(self, batch: List[Tuple[Any, Future]]) -> None:
         try:

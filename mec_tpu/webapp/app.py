@@ -141,6 +141,9 @@ class EmotionApp:
         self._batcher = None
         self._models_dir = models_dir
         self._init_lock = __import__('threading').Lock()
+        # cap concurrent SSE metric streams — each pins a worker thread
+        self._stream_slots = __import__('threading').BoundedSemaphore(
+            int(os.environ.get('MEC_METRICS_STREAMS', '8')))
         self.limiter = ratelimit.RateLimiter(
             enabled=not testing and Config.RATELIMIT_ENABLED)
         self.log = setup_logging()
@@ -642,6 +645,7 @@ class EmotionApp:
         return jsonify([{'emotion': s.emotion, 'count': s.count}
                         for s in stats])
 
+    @api_login_required
     def api_metrics(self, request, session):
         """Serving-loop stage timings (new; the reference has no tracing,
         SURVEY.md §5) + trained-model metrics from the DB."""
@@ -653,15 +657,22 @@ class EmotionApp:
                        for m in self.db.get_model_metrics()],
         })
 
+    @api_login_required
     def api_metrics_stream(self, request, session):
         """Server-Sent Events stream of the live serving metrics
         (stage timers + batcher coalescing stats; additive — the
         reference has no live observability, SURVEY.md §5). Bounded to
         `ticks` frames (default 60, cap 600) so an abandoned browser tab
         cannot pin a worker thread forever; clients reconnect — that is
-        SSE's native model."""
+        SSE's native model. Login-gated and capped at a few concurrent
+        streams per process: each open stream pins a WSGI worker thread,
+        so anonymous clients must not be able to open them at all, and
+        even authenticated ones must not exhaust the thread pool."""
         import math
         import time as _time
+        if not self._stream_slots.acquire(blocking=False):
+            return jsonify({'error': 'too many concurrent metric streams'},
+                           429)
         try:
             ticks = max(1, min(int(request.args.get('ticks', '60')), 600))
         except ValueError:
@@ -675,7 +686,7 @@ class EmotionApp:
         interval = min(max(interval, 0.2), 30.0)
         # bound the TOTAL stream duration, not just the factors — one
         # request must not pin a worker thread for ticks*interval hours
-        ticks = min(ticks, max(1, int(300.0 / interval)))
+        ticks = min(ticks, max(1, int(120.0 / interval)))
 
         def frames():
             for i in range(ticks):
@@ -689,9 +700,14 @@ class EmotionApp:
                 if i + 1 < ticks:
                     _time.sleep(interval)
 
-        return Response(frames(), mimetype='text/event-stream',
+        resp = Response(frames(), mimetype='text/event-stream',
                         headers={'Cache-Control': 'no-cache',
                                  'X-Accel-Buffering': 'no'})
+        # release on response close — fires on normal exhaustion, client
+        # disconnect, AND if the WSGI server never iterates the body
+        # (a generator finally would miss that last case)
+        resp.call_on_close(self._stream_slots.release)
+        return resp
 
 
 def create_app(db=None, engine=None, testing: bool = False,

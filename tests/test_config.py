@@ -56,3 +56,26 @@ def test_load_dotenv(tmp_path, monkeypatch):
 
 def test_load_dotenv_missing_file(tmp_path):
     assert not load_dotenv(str(tmp_path / 'does-not-exist'))
+
+
+def test_load_dotenv_comments_and_export(tmp_path):
+    """python-dotenv semantics the first cut missed (ADVICE round 1):
+    unquoted inline comments are stripped, 'export KEY=...' assigns KEY
+    (not a key named 'export KEY'), quoted '#' is preserved."""
+    env = tmp_path / '.env'
+    env.write_text(
+        'MEC_DOTENV_TEST_E=value # trailing comment\n'
+        'export MEC_DOTENV_TEST_F=exported\n'
+        'MEC_DOTENV_TEST_G="kept # inside quotes"\n'
+        'MEC_DOTENV_TEST_H=no#comment-without-space\n')
+    try:
+        assert load_dotenv(str(env))
+        assert os.environ['MEC_DOTENV_TEST_E'] == 'value'
+        assert os.environ['MEC_DOTENV_TEST_F'] == 'exported'
+        assert 'export MEC_DOTENV_TEST_F' not in os.environ
+        assert os.environ['MEC_DOTENV_TEST_G'] == 'kept # inside quotes'
+        assert os.environ['MEC_DOTENV_TEST_H'] == 'no#comment-without-space'
+    finally:
+        for k in ('MEC_DOTENV_TEST_E', 'MEC_DOTENV_TEST_F',
+                  'MEC_DOTENV_TEST_G', 'MEC_DOTENV_TEST_H'):
+            os.environ.pop(k, None)

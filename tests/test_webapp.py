@@ -187,6 +187,12 @@ def test_413_too_large(client):
 
 
 def test_api_metrics(client):
+    # login-gated: each metrics call costs server work, and the SSE
+    # variant pins a thread — anonymous access is 401
+    assert client.get('/api/metrics').status_code == 401
+    client.post('/api/register', json={'username': 'metuser',
+                                       'email': 'met@example.com',
+                                       'password': 'password123'})
     client.get('/')
     r = client.get('/api/metrics')
     assert r.status_code == 200
@@ -194,8 +200,13 @@ def test_api_metrics(client):
 
 
 def test_api_metrics_stream(client):
-    """SSE stream: bounded frame count, data: framing, parseable JSON."""
+    """SSE stream: login-gated, bounded frame count, data: framing,
+    parseable JSON, concurrent-stream cap releases slots on close."""
     import json as _json
+    assert client.get('/api/metrics/stream').status_code == 401
+    client.post('/api/register', json={'username': 'sseuser',
+                                       'email': 'sse@example.com',
+                                       'password': 'password123'})
     client.get('/')
     r = client.get('/api/metrics/stream?ticks=2&interval=0.2')
     assert r.status_code == 200
@@ -207,6 +218,20 @@ def test_api_metrics_stream(client):
         assert f.startswith('data: ')
         payload = _json.loads(f[len('data: '):])
         assert 'stages' in payload and 'ts' in payload
+    # slot accounting: exhausting the cap returns 429; completed streams
+    # release their slot so the next request succeeds again
+    app = client.application
+    while app._stream_slots.acquire(blocking=False):
+        pass
+    assert client.get(
+        '/api/metrics/stream?ticks=1&interval=0.2').status_code == 429
+    app._stream_slots.release()
+    r2 = client.get('/api/metrics/stream?ticks=1&interval=0.2')
+    assert r2.status_code == 200
+    r2.get_data()
+    r2.close()  # close callbacks fire on close, not on exhaustion
+    assert app._stream_slots.acquire(blocking=False)
+    app._stream_slots.release()
 
 
 def test_rate_limiter_sliding_window(monkeypatch):
