@@ -70,6 +70,11 @@ class Config:
     WTF_CSRF_ENABLED = True
     WTF_CSRF_TIME_LIMIT = None
 
+    # HTTPS enforcement in production (reference app.py:77-83: Talisman
+    # force_https when FLASK_ENV=production; plain HTTP requests are
+    # redirected to https)
+    FORCE_HTTPS = os.environ.get('FLASK_ENV') == 'production'
+
     # Session security (reference config.py:14-18)
     SESSION_COOKIE_SECURE = os.environ.get('FLASK_ENV') == 'production'
     SESSION_COOKIE_HTTPONLY = True

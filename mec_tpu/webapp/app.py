@@ -238,6 +238,17 @@ class EmotionApp:
     # ------------------------------------------------------------------
     def __call__(self, environ, start_response):
         request = Request(environ)
+        # force-HTTPS in production (reference app.py:77-83 Talisman
+        # force_https): redirect plain-HTTP requests before any handler
+        # runs; a TLS-terminating proxy announces https via
+        # X-Forwarded-Proto. 302 matches Talisman's default.
+        proto = request.headers.get('X-Forwarded-Proto', request.scheme)
+        if Config.FORCE_HTTPS and proto != 'https':
+            url = 'https://' + request.host + request.full_path.rstrip('?')
+            response = Response('', status=302, headers={'Location': url})
+            for k, v in Config.SECURITY_HEADERS.items():
+                response.headers.setdefault(k, v)
+            return response(environ, start_response)
         session = load_session(request.cookies.get(COOKIE_NAME))
         had_cookie = bool(request.cookies.get(COOKIE_NAME))
         try:

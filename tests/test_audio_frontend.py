@@ -178,3 +178,31 @@ def test_wav_stereo_downmix(tmp_path):
     out, got_sr = wav.load_audio_file(p, sr=sr)
     assert got_sr == sr and out.ndim == 1 and len(out) == n
     np.testing.assert_allclose(out, (left + right) / 2.0, atol=1e-4)
+
+
+class TestRealLibrosaGoldens:
+    """Asserts against FROZEN real-librosa vectors when present.
+
+    tests/goldens/librosa_features.npz does not exist in this offline
+    image (librosa cannot install); run tests/make_goldens.py in a
+    networked environment and commit the file to activate this class.
+    Until then the suite's oracle is the independent reimplementation in
+    tests/librosa_ref.py — see the oracle caveat in BASELINE.md."""
+
+    @pytest.fixture()
+    def goldens(self):
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'goldens', 'librosa_features.npz')
+        if not os.path.exists(path):
+            pytest.skip('no frozen real-librosa goldens '
+                        '(run tests/make_goldens.py where librosa installs)')
+        return np.load(path)
+
+    def test_features_56_match_real_librosa(self, goldens):
+        from tests.make_goldens import golden_signals
+        for name, y in golden_signals().items():
+            want = goldens[name]
+            got = np.asarray(af.audio_features_56(y[None]))[0]
+            np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4,
+                                       err_msg=f'signal {name}')

@@ -86,8 +86,23 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.timeout(180)
+def _die_with_parent():
+    """PR_SET_PDEATHSIG: the kernel SIGKILLs the worker if the pytest
+    process dies first (SIGTERM/SIGKILL mid-run), so a killed suite
+    cannot orphan gRPC-coordinated children (round-1 VERDICT item 9)."""
+    try:
+        import ctypes
+        import signal
+        libc = ctypes.CDLL('libc.so.6', use_errno=True)
+        libc.prctl(1, signal.SIGKILL)  # 1 = PR_SET_PDEATHSIG
+    except Exception:
+        pass  # non-Linux: fall back to the finally-kill below
+
+
 def test_two_process_dcn_psum(tmp_path):
+    # hang protection comes from communicate(timeout=...) below, not a
+    # pytest.mark.timeout — pytest-timeout is not installed here and the
+    # mark was silently inert (round-1 VERDICT item 7)
     port = _free_port()
     env = dict(os.environ)
     env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
@@ -97,16 +112,24 @@ def test_two_process_dcn_psum(tmp_path):
     procs = [subprocess.Popen(
         [sys.executable, '-c', _WORKER, str(pid), str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-        text=True) for pid in (0, 1)]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=150)
-        except subprocess.TimeoutExpired:
-            for q in procs:
+        text=True, preexec_fn=_die_with_parent) for pid in (0, 1)]
+    try:
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=150)
+            except subprocess.TimeoutExpired:
+                pytest.fail('multi-host worker hung')
+            outs.append(out)
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f'worker {pid} failed:\n{out}'
+            assert f'MULTIHOST_OK {pid}' in out
+    finally:
+        for q in procs:
+            if q.poll() is None:
                 q.kill()
-            pytest.fail('multi-host worker hung')
-        outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f'worker {pid} failed:\n{out}'
-        assert f'MULTIHOST_OK {pid}' in out
+        for q in procs:
+            try:
+                q.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass

@@ -423,3 +423,20 @@ class TestSecurityHardening:
         r = logged_in.post('/api/predict/multimodal', data={})
         assert r.status_code == 200 and r.json == {}
         assert logged_in.get('/api/predictions').json == []
+
+
+def test_force_https_redirect(client, monkeypatch):
+    """Production HTTPS enforcement (reference app.py:77-83 Talisman
+    force_https): plain-HTTP requests 302 to https, X-Forwarded-Proto
+    https from a TLS proxy passes through, HSTS header present."""
+    from mec_tpu.config import Config
+    monkeypatch.setattr(Config, 'FORCE_HTTPS', True)
+    r = client.get('/login')
+    assert r.status_code == 302
+    assert r.headers['Location'].startswith('https://')
+    assert r.headers['Location'].endswith('/login')
+    assert 'Strict-Transport-Security' in r.headers
+    r = client.get('/login', headers={'X-Forwarded-Proto': 'https'})
+    assert r.status_code == 200
+    monkeypatch.setattr(Config, 'FORCE_HTTPS', False)
+    assert client.get('/login').status_code == 200
