@@ -31,6 +31,7 @@ from __future__ import annotations
 import logging
 import os
 import threading
+import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -515,6 +516,7 @@ class EmotionEngine:
                        if s < Config.MAX_TEXT_LENGTH}
                       | {Config.MAX_TEXT_LENGTH})
         for b in buckets:
+            t_bucket = time.perf_counter()
             b = self._bucket(b)
             waves = np.zeros((b, af.N_SAMPLES), np.float32)
             full_ids = np.zeros((b, Config.MAX_TEXT_LENGTH), np.int32)
@@ -539,6 +541,12 @@ class EmotionEngine:
                             self.bert['variables'], self.image['variables'],
                             self.fusion['variables'],
                             w_wire, ids, ids, i_wire)
+            # per-bucket compile cost is visible at startup, not as
+            # mystery latency under traffic (compiles through the remote
+            # tunnel here have measured 41-154 s per shape; BASELINE.md
+            # batch-128 root-cause)
+            log.info('warmup: bucket %d compiled in %.1fs', b,
+                     time.perf_counter() - t_bucket)
 
     # ------------------------------------------------------------------
     # per-modality prediction (batched, fallback-laddered)
@@ -818,20 +826,27 @@ class EmotionEngine:
 
     def _predict_trimodal_fused(self, audio_path: str, text: str,
                                 image_path: str) -> Dict[str, Dict]:
-        """Single device dispatch for the flagship path."""
+        """Single device dispatch for the flagship path.
+
+        Per-component puts, each fired as soon as its bytes exist: the
+        audio wire (~100 KB) starts streaming through the tunnel while
+        the host is still JPEG-decoding the image — on the measured
+        ~75 MB/s link that overlap hides the audio upload entirely
+        behind the image decode (p50 decomposition in bench.py)."""
         from mec_tpu.image.preprocess import load_image_uint8
+        b = self._bucket(1)
         waves = wav.load_and_fix_length(audio_path)[0][None, :]
+        w_d = self._put(self._wire_waves(waves, b))  # uploading...
         ids, mask = self._seq_slice(*self.bert_tokenizer.encode_batch(
             [text], Config.MAX_TEXT_LENGTH))
-        img = load_image_uint8(image_path)[None]
-        b = self._bucket(1)
+        ids_d = self._put((_pad_rows(ids, b), _pad_rows(mask, b)))
+        img = load_image_uint8(image_path)[None]    # ...under this decode
+        i_d = self._put(self._wire_image(img, b))
         packed = np.asarray(self._trimodal_jit(
             self.speech['variables'], self.speech['scaler'],
             self.bert['variables'], self.image['variables'],
             self.fusion['variables'],
-            *self._put((self._wire_waves(waves, b), _pad_rows(ids, b),
-                        _pad_rows(mask, b),
-                        self._wire_image(img, b)))))[0]
+            w_d, ids_d[0], ids_d[1], i_d))[0]
         return {
             'speech': result_dict(packed[:7]),
             'text': result_dict(packed[7:14]),

