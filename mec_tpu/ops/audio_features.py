@@ -62,9 +62,22 @@ def _frame_indices() -> np.ndarray:
 
 
 def frame_signal(y: jnp.ndarray, pad_mode: str) -> jnp.ndarray:
-    """Center-framed view, (B, N_FRAMES, N_FFT). pad_mode: 'constant'|'edge'."""
+    """Center-framed view, (B, N_FRAMES, N_FFT). pad_mode: 'constant'|'edge'.
+
+    Gather-free when N_FFT is a HOP multiple (the librosa defaults:
+    2048 = 4*512): frame t spans hop-slices [t, t+4), so the frame tensor
+    is 4 static slices of the hop-reshaped signal concatenated — bitwise
+    identical to the fancy-indexing gather, which XLA:TPU lowers to a
+    slow per-row gather (profiled 2026-08-17: the gather made zcr/rms
+    ~2 ms each at batch 64 — TPU gathers are the known frontend tax)."""
     pad = N_FFT // 2
     y_p = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
+    if N_FFT % HOP == 0:
+        ratio = N_FFT // HOP
+        total = (N_FRAMES - 1) * HOP + N_FFT
+        hops = y_p[:, :total].reshape(y.shape[0], total // HOP, HOP)
+        return jnp.concatenate(
+            [hops[:, i:i + N_FRAMES] for i in range(ratio)], axis=-1)
     return y_p[:, _frame_indices()]
 
 

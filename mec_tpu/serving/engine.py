@@ -828,25 +828,27 @@ class EmotionEngine:
                                 image_path: str) -> Dict[str, Dict]:
         """Single device dispatch for the flagship path.
 
-        Per-component puts, each fired as soon as its bytes exist: the
-        audio wire (~100 KB) starts streaming through the tunnel while
-        the host is still JPEG-decoding the image — on the measured
-        ~75 MB/s link that overlap hides the audio upload entirely
-        behind the image decode (p50 decomposition in bench.py)."""
+        Batch-1 passes host numpy STRAIGHT into the jit call — measured
+        fastest (2026-08-17, interleaved same-window shootout: 42.2 ms
+        median vs 43.5 one-put vs 45.1 per-component-puts): the whole
+        wire is ~140 KB, so per-put tunnel round trips cost more than
+        the upload they could overlap. The explicit-put convention is
+        for BATCHED payloads (MBs), where overlap wins — see
+        predict_multimodal_batch. Same window's echo RTT (tiny jit
+        dispatch + fetch): 29.3 ms median — the floor this path can
+        never beat through the remote tunnel."""
         from mec_tpu.image.preprocess import load_image_uint8
         b = self._bucket(1)
         waves = wav.load_and_fix_length(audio_path)[0][None, :]
-        w_d = self._put(self._wire_waves(waves, b))  # uploading...
         ids, mask = self._seq_slice(*self.bert_tokenizer.encode_batch(
             [text], Config.MAX_TEXT_LENGTH))
-        ids_d = self._put((_pad_rows(ids, b), _pad_rows(mask, b)))
-        img = load_image_uint8(image_path)[None]    # ...under this decode
-        i_d = self._put(self._wire_image(img, b))
+        img = load_image_uint8(image_path)[None]
         packed = np.asarray(self._trimodal_jit(
             self.speech['variables'], self.speech['scaler'],
             self.bert['variables'], self.image['variables'],
             self.fusion['variables'],
-            w_d, ids_d[0], ids_d[1], i_d))[0]
+            self._wire_waves(waves, b), _pad_rows(ids, b),
+            _pad_rows(mask, b), self._wire_image(img, b)))[0]
         return {
             'speech': result_dict(packed[:7]),
             'text': result_dict(packed[7:14]),
