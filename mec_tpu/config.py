@@ -171,6 +171,14 @@ class Config:
     # off or when running on CPU).
     USE_PALLAS = _env_flag('MEC_USE_PALLAS', True)
 
+    # Serving-mode DFT MXU precision: 'high' (default, 3-pass bf16
+    # split, error floor below librosa's -80 dB top_db clamp), 'bf16'
+    # (1 pass — fastest but its ~-64 dB floor measurably shifts dB-scale
+    # features of spectrally sparse clips), or 'highest' (full fp32
+    # emulation, the parity grade). Only affects the perf path
+    # (use_pallas); fp32 parity mode always runs fp32 highest.
+    DFT_PRECISION = os.environ.get('MEC_DFT_PRECISION', 'high')
+
     # Padded sequence-length buckets for BERT dispatch. The reference
     # pads every text to MAX_TEXT_LENGTH=128; BERT cost is linear in the
     # padded length and emotion texts are mostly <32 tokens. Slicing to

@@ -32,7 +32,7 @@ librosa-semantics notes (all defaults of librosa 0.10):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +88,91 @@ def stft_spectrograms(y: jnp.ndarray):
     z = jnp.fft.rfft(frames * win, axis=-1)
     mag = jnp.abs(z).astype(jnp.float32)
     return mag, mag * mag
+
+
+# ----------------------------------------------------------------------
+# Hop-slab serving frontend: never materializes the (B, T, 2048) frame
+# tensor. Valid when N_FFT is a HOP multiple (librosa defaults 2048=4*512).
+# ----------------------------------------------------------------------
+
+_HOP_RATIO = N_FFT // HOP                       # 4
+_HOP_TOTAL = (N_FRAMES - 1) * HOP + N_FFT      # samples covering all frames
+_N_HOPS = _HOP_TOTAL // HOP                    # 133
+
+
+@lru_cache(maxsize=1)
+def _windowed_dft_bases():
+    """cos/sin DFT bases with the periodic Hann window folded in,
+    (N_FFT, N_BINS) float32: DFT(w*x) = x @ (diag(w) @ C), so folding w
+    into the bases removes the per-frame window multiply AND the framed
+    tensor it would have to be applied to."""
+    n = np.arange(N_FFT)[:, None]
+    k = np.arange(N_BINS)[None, :]
+    ang = 2.0 * np.pi * n * k / N_FFT
+    w = np.asarray(filters.hann_window(N_FFT), np.float64)[:, None]
+    cos = (np.cos(ang) * w).astype(np.float32)
+    sin = (-np.sin(ang) * w).astype(np.float32)
+    return cos, sin
+
+
+def _hops(y: jnp.ndarray, pad_mode: str) -> jnp.ndarray:
+    """Center-padded signal reshaped to (B, _N_HOPS, HOP)."""
+    pad = N_FFT // 2
+    y_p = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
+    return y_p[:, :_HOP_TOTAL].reshape(y.shape[0], _N_HOPS, HOP)
+
+
+def hop_spectrograms(y: jnp.ndarray):
+    """(mag, power) via 4 hop-slab matmuls with window-folded bases.
+
+    Equivalent to stft_spectrograms up to summation order; runs at
+    3-pass bf16-split MXU precision (error floor well under librosa's
+    top_db=-80 dB clamp — see dft_spectrograms precision notes). Frame t
+    spans hop-slices [t, t+4), so slab i contributes
+    hops[:, t+i] @ bases[i*HOP:(i+1)*HOP] — the (B, T, 2048) frame
+    tensor never exists, saving two HBM round trips of ~68 MB at
+    batch 64."""
+    hc = _hops(y, 'constant')
+    cosw, sinw = (jnp.asarray(x) for x in _windowed_dft_bases())
+    B = y.shape[0]
+    M = B * N_FRAMES
+    re = jnp.zeros((M, N_BINS), jnp.float32)
+    im = jnp.zeros((M, N_BINS), jnp.float32)
+    for i in range(_HOP_RATIO):
+        slab = hc[:, i:i + N_FRAMES].reshape(M, HOP)
+        re = re + jnp.dot(slab, cosw[i * HOP:(i + 1) * HOP],
+                          precision=jax.lax.Precision.HIGH,
+                          preferred_element_type=jnp.float32)
+        im = im + jnp.dot(slab, sinw[i * HOP:(i + 1) * HOP],
+                          precision=jax.lax.Precision.HIGH,
+                          preferred_element_type=jnp.float32)
+    P = (re * re + im * im).reshape(B, N_FRAMES, N_BINS)
+    return jnp.sqrt(P), P
+
+
+def zcr_mean_hops(y: jnp.ndarray, threshold: float = 1e-10) -> jnp.ndarray:
+    """zcr_mean via per-hop crossing counts + hop-boundary pairs —
+    identical integer counts to the framed version, no frame tensor."""
+    he = _hops(y, 'edge')
+    z = jnp.where(jnp.abs(he) <= threshold, 0.0, he)
+    neg = jnp.signbit(z)
+    intra = jnp.sum(neg[..., 1:] != neg[..., :-1], axis=-1)   # (B, H)
+    bound = (neg[:, 1:, 0] != neg[:, :-1, -1])                # (B, H-1)
+    cr = sum(intra[:, i:i + N_FRAMES] for i in range(_HOP_RATIO))
+    cr = cr + sum(bound[:, i:i + N_FRAMES]
+                  for i in range(_HOP_RATIO - 1))
+    rate = cr.astype(jnp.float32) / N_FFT
+    return jnp.mean(rate, axis=-1)
+
+
+def rms_mean_hops(y: jnp.ndarray) -> jnp.ndarray:
+    """rms_mean via sliding sums of per-hop energies (equivalent up to
+    summation order), no frame tensor."""
+    hc = _hops(y, 'constant')
+    e = jnp.sum(hc * hc, axis=-1)                             # (B, H)
+    fe = sum(e[:, i:i + N_FRAMES] for i in range(_HOP_RATIO))
+    rms = jnp.sqrt(fe / N_FFT)
+    return jnp.mean(rms, axis=-1)
 
 
 # ----------------------------------------------------------------------
@@ -389,24 +474,39 @@ def audio_features_56(y: jnp.ndarray, use_pallas: bool = False
     """
     if y.ndim == 1:
         y = y[None, :]
-    if use_pallas:
+    if use_pallas and Config.DFT_PRECISION == 'high':
+        # Serving default: hop-slab frontend — window folded into the
+        # DFT bases, zcr/rms from per-hop statistics, the (B, T, 2048)
+        # frame tensor never materialized (measured 2026-08-17 at
+        # batch 64: full frontend 7.8 ms fp32-highest frames path ->
+        # 6.0 ms XLA-high frames path; hop-slab removes the remaining
+        # frame-tensor HBM traffic).
+        from mec_tpu.ops import pallas_kernels as pk
+        mag, P = hop_spectrograms(y)
+        mfcc = pk.mfcc_mean_pallas(P)
+        zcr = zcr_mean_hops(y)
+        rms = rms_mean_hops(y)
+    elif use_pallas:
         from mec_tpu.ops import pallas_kernels as pk
         win = jnp.asarray(filters.hann_window(N_FFT))
         frames = frame_signal(y, 'constant') * win
-        mag, P = pk.dft_spectrograms(frames)
+        mag, P = pk.dft_spectrograms(frames,
+                                     precision=Config.DFT_PRECISION)
         mfcc = pk.mfcc_mean_pallas(P)
+        zcr = zcr_mean(y)
+        rms = rms_mean(y)
     else:
         mag, P = stft_spectrograms(y)
         mfcc = mfcc_mean_from_power(P)
+        zcr = zcr_mean(y)
+        rms = rms_mean(y)
     # Tuning estimation stays on the XLA path in BOTH modes: a fused
     # per-clip Pallas kernel measured 2.31 ms vs XLA's 1.43 ms at batch 32
     # (grid cells serialize per-clip fori_loops; XLA batches the median
     # search + histogram across clips) — see ROADMAP.md item 5.
     chroma = chroma_mean_from_power(P)
-    zcr = zcr_mean(y)
     centroid = spectral_centroid_mean(mag)
     rolloff = spectral_rolloff_mean(mag)
-    rms = rms_mean(y)
     spectral = jnp.stack([zcr, centroid, rolloff, rms], axis=-1)
     return jnp.concatenate([mfcc, chroma, spectral], axis=-1).astype(jnp.float32)
 

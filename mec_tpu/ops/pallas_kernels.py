@@ -80,24 +80,50 @@ def _dft_bases() -> Tuple[np.ndarray, np.ndarray]:
     return cos, sin
 
 
-def _dft_power_kernel(frames_ref, cos_ref, sin_ref, pow_ref, mag_ref):
-    a = frames_ref[:]                       # (TILE_M, N_FFT)
-    re = jnp.dot(a, cos_ref[:], precision=_HIGH,
-                 preferred_element_type=jnp.float32)
-    im = jnp.dot(a, sin_ref[:], precision=_HIGH,
-                 preferred_element_type=jnp.float32)
-    p = re * re + im * im
-    pow_ref[:] = p
-    mag_ref[:] = jnp.sqrt(p)
+def _make_dft_power_kernel(precision):
+    def _dft_power_kernel(frames_ref, cos_ref, sin_ref, pow_ref, mag_ref):
+        a = frames_ref[:]                   # (TILE_M, N_FFT)
+        re = jnp.dot(a, cos_ref[:], precision=precision,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(a, sin_ref[:], precision=precision,
+                     preferred_element_type=jnp.float32)
+        p = re * re + im * im
+        pow_ref[:] = p
+        mag_ref[:] = jnp.sqrt(p)
+    return _dft_power_kernel
 
 
-def dft_spectrograms(frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+_dft_power_kernel = _make_dft_power_kernel(_HIGH)
+
+
+def dft_spectrograms(frames: jnp.ndarray, precision: str = 'highest'
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, T, N_FFT) framed+windowed float32 -> (mag, power), (B, T, N_BINS).
 
     Drop-in replacement for the rFFT in
     mec_tpu.ops.audio_features.stft_spectrograms.
+
+    precision: 'highest' = full fp32 MXU emulation (parity-grade);
+    'high' = 3-pass bf16 split (~fp24 products, broadband error floor
+    well below librosa's top_db=-80 dB clamp); 'bf16' = one MXU pass
+    with bf16 operands — fastest, but its ~-64 dB error floor is ABOVE
+    the -80 dB clamp, which measurably shifts dB-scale features of
+    spectrally sparse clips (chirp centroid +45% — measured 2026-08-17),
+    so it is NOT the serving default.
     """
     B, T, _ = frames.shape
+    if precision == 'high':
+        # Mosaic cannot lower Precision.HIGH; XLA can — and the DFT
+        # matmul needs no hand-tiling to saturate the MXU, so the
+        # 'high' path is a plain dot.
+        cos, sin = (jnp.asarray(x[:, :N_BINS]) for x in _dft_bases())
+        flat = frames.reshape(B * T, N_FFT)
+        re = jnp.dot(flat, cos, precision=jax.lax.Precision.HIGH,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(flat, sin, precision=jax.lax.Precision.HIGH,
+                     preferred_element_type=jnp.float32)
+        p = (re * re + im * im).reshape(B, T, N_BINS)
+        return jnp.sqrt(p), p
     M = B * T
     TILE_M = 128
     m_pad = -M % TILE_M
@@ -106,6 +132,13 @@ def dft_spectrograms(frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         flat = jnp.concatenate(
             [flat, jnp.zeros((m_pad, N_FFT), flat.dtype)], axis=0)
     cos, sin = (jnp.asarray(x) for x in _dft_bases())
+    if precision == 'bf16':
+        flat = flat.astype(jnp.bfloat16)
+        cos = cos.astype(jnp.bfloat16)
+        sin = sin.astype(jnp.bfloat16)
+    kernel = _make_dft_power_kernel(
+        {'highest': jax.lax.Precision.HIGHEST,
+         'bf16': jax.lax.Precision.DEFAULT}[precision])
 
     grid = ((M + m_pad) // TILE_M, _NBINS_PAD // 128)
     out_shape = [
@@ -113,7 +146,7 @@ def dft_spectrograms(frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         jax.ShapeDtypeStruct((M + m_pad, _NBINS_PAD), jnp.float32),
     ]
     p, mag = pl.pallas_call(
-        _dft_power_kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_M, N_FFT), lambda i, j: (i, 0),

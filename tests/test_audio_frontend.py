@@ -206,3 +206,47 @@ class TestRealLibrosaGoldens:
             got = np.asarray(af.audio_features_56(y[None]))[0]
             np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4,
                                        err_msg=f'signal {name}')
+
+
+class TestHopSlabFrontend:
+    """The serving hop-slab frontend (no frame-tensor materialization)
+    against the framed reference implementations."""
+
+    def test_hop_spectrograms_match_stft(self):
+        y = np.stack([SIGNALS['tone'], SIGNALS['noise'], SIGNALS['quiet']])
+        mag_ref, P_ref = af.stft_spectrograms(y)
+        mag_hop, P_hop = af.hop_spectrograms(y)
+        assert mag_hop.shape == mag_ref.shape
+        np.testing.assert_allclose(np.asarray(mag_hop), np.asarray(mag_ref),
+                                   atol=2e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(P_hop), np.asarray(P_ref),
+                                   atol=5e-3, rtol=2e-4)
+
+    def test_zcr_hops_identical(self):
+        y = np.stack([SIGNALS['tone'], SIGNALS['noise'], SIGNALS['quiet']])
+        # integer crossing counts decomposed per hop: exactly equal
+        np.testing.assert_array_equal(np.asarray(af.zcr_mean_hops(y)),
+                                      np.asarray(af.zcr_mean(y)))
+
+    def test_rms_hops_equivalent(self):
+        y = np.stack([SIGNALS['tone'], SIGNALS['noise'], SIGNALS['quiet']])
+        np.testing.assert_allclose(np.asarray(af.rms_mean_hops(y)),
+                                   np.asarray(af.rms_mean(y)),
+                                   rtol=1e-6, atol=1e-9)
+
+    def test_serving_features_match_parity_path(self):
+        """End-to-end 56-dim serving path (hop-slab, use_pallas=True
+        interpret mode) vs the fp32 parity path."""
+        from mec_tpu.config import Config
+        y = np.stack([SIGNALS['tone'], SIGNALS['noise']])
+        ref = np.asarray(af.audio_features_56(y, use_pallas=False))
+        old = Config.DFT_PRECISION
+        try:
+            Config.DFT_PRECISION = 'high'
+            got = np.asarray(af.audio_features_56(y, use_pallas=True))
+        finally:
+            Config.DFT_PRECISION = old
+        # mfcc in dB-coefficient units; chroma in [0,1]; spectral mixed
+        np.testing.assert_allclose(got[:, :40], ref[:, :40], atol=1e-2)
+        np.testing.assert_allclose(got[:, 40:52], ref[:, 40:52], atol=1e-3)
+        np.testing.assert_allclose(got[:, 52:], ref[:, 52:], rtol=1e-3)
