@@ -144,7 +144,7 @@ def run_bench():
     # inputs already on device (N async dispatches, one sync). This is
     # the chip's capability independent of the dev tunnel's host<->device
     # bandwidth, which here swings 12-75 MB/s across hours.
-    device_rate = None
+    device_rate = device_rate_b64 = None
     if MODE == 'tpu' and not past_deadline(90):
         import jax
         from mec_tpu.config import Config
@@ -167,6 +167,27 @@ def run_bench():
             out_d = engine._trimodal_jit(*margs, *dargs)
         _ = np.asarray(out_d)
         device_rate = BATCH * N / (time.perf_counter() - t0)
+        # batch-64 is the best measured throughput bucket (BASELINE.md
+        # batch-size scaling); record it alongside the default-bucket rate
+        if not past_deadline(120):
+            B2 = 64
+            waves2 = engine._wire_waves(np.repeat(
+                wav_ops.load_and_fix_length(wav_path)[0][None], B2, 0), B2)
+            ids2, mask2 = engine._seq_slice(
+                *engine.bert_tokenizer.encode_batch(
+                    [text] * B2, Config.MAX_TEXT_LENGTH))
+            img2 = engine._wire_image(np.repeat(
+                load_image_uint8(img_path)[None], B2, 0), B2)
+            dargs2 = [jax.device_put(x)
+                      for x in (waves2, ids2, mask2, img2)]
+            _ = np.asarray(engine._trimodal_jit(*margs, *dargs2))
+            t0 = time.perf_counter()
+            for _ in range(N):
+                out_d = engine._trimodal_jit(*margs, *dargs2)
+            _ = np.asarray(out_d)
+            device_rate_b64 = B2 * N / (time.perf_counter() - t0)
+        else:
+            device_rate_b64 = None
 
     # single-request p50 latency; in CPU mode the same loop IS the
     # reference-design baseline (batch-1, sequential)
@@ -266,12 +287,13 @@ def run_bench():
             'image_only': rate(
                 lambda: engine.predict_image_paths(imgs)),
         }
-    return throughput, p50, batch1_rate, device_rate, per_config, decomp
+    return (throughput, p50, batch1_rate, device_rate,
+            device_rate_b64, per_config, decomp)
 
 
 def main():
-    (throughput, p50, batch1_rate, device_rate, per_config,
-     decomp) = run_bench()
+    (throughput, p50, batch1_rate, device_rate, device_rate_b64,
+     per_config, decomp) = run_bench()
     if MODE == 'cpu':
         print(json.dumps({'cpu_batch1_preds_per_sec': batch1_rate,
                           'cpu_batched_preds_per_sec': throughput,
@@ -310,6 +332,8 @@ def main():
                                       if cpu_batched else None),
         'device_step_preds_per_sec': (round(device_rate, 1)
                                       if device_rate else None),
+        'device_step_preds_per_sec_b64': (round(device_rate_b64, 1)
+                                          if device_rate_b64 else None),
     }
     if decomp:
         result['p50_decomposition'] = decomp
