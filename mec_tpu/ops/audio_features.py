@@ -154,8 +154,10 @@ def zcr_mean_hops(y: jnp.ndarray, threshold: float = 1e-10) -> jnp.ndarray:
     """zcr_mean via per-hop crossing counts + hop-boundary pairs —
     identical integer counts to the framed version, no frame tensor."""
     he = _hops(y, 'edge')
-    z = jnp.where(jnp.abs(he) <= threshold, 0.0, he)
-    neg = jnp.signbit(z)
+    # exact rewrite of where(|x| <= thr, 0, x) -> signbit: values in
+    # [-thr, thr] zero out to +0.0 (signbit False), so neg iff x < -thr —
+    # one elementwise pass instead of abs/where/signbit.
+    neg = he < -threshold
     intra = jnp.sum(neg[..., 1:] != neg[..., :-1], axis=-1)   # (B, H)
     bound = (neg[:, 1:, 0] != neg[:, :-1, -1])                # (B, H-1)
     cr = sum(intra[:, i:i + N_FRAMES] for i in range(_HOP_RATIO))
@@ -455,11 +457,39 @@ def spectral_centroid_mean(mag: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(centroid, axis=-1)
 
 
+def _cumsum_chunked(x: jnp.ndarray, chunk: int = 32) -> jnp.ndarray:
+    """Cumulative sum along the last axis via two small MXU matmuls.
+
+    XLA lowers jnp.cumsum on TPU to a log-depth scan — ~11 full-tensor
+    HBM passes at F=1025, which made the rolloff stage the most
+    expensive spectral scalar (measured ~1 ms of the batch-64 frontend).
+    Chunking to 32-wide groups turns it into one batched (.., 32)@(32, 32)
+    triangular matmul for within-chunk prefixes plus a second tiny matmul
+    for chunk-level prefixes: two passes over the data, prefix FLOPs on
+    the MXU. float32 accumulation (HIGHEST), so only the summation
+    GROUPING differs from jnp.cumsum — same tolerance class.
+    """
+    F = x.shape[-1]
+    pad = (-F) % chunk
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    n_chunks = (F + pad) // chunk
+    xr = x.reshape(x.shape[:-1] + (n_chunks, chunk))
+    # U[i, j] = 1 iff i <= j: within[..., c, j] = sum_{i<=j} xr[..., c, i]
+    U = jnp.asarray(np.triu(np.ones((chunk, chunk), np.float32)))
+    within = jnp.einsum('...ci,ij->...cj', xr, U, precision=_HIGH)
+    totals = within[..., -1]                                   # (.., n_chunks)
+    Us = jnp.asarray(np.triu(np.ones((n_chunks, n_chunks), np.float32), 1))
+    prefix = jnp.einsum('...c,cd->...d', totals, Us, precision=_HIGH)
+    cum = (within + prefix[..., None]).reshape(x.shape)
+    return cum[..., :F]
+
+
 def spectral_rolloff_mean(mag: jnp.ndarray, roll_percent: float = 0.85
                           ) -> jnp.ndarray:
     """librosa.feature.spectral_rolloff (lowest bin reaching 85% energy), (B,)."""
     freqs = jnp.asarray(filters.fft_frequencies(SR, N_FFT), dtype=jnp.float32)
-    cum = jnp.cumsum(mag, axis=-1)
+    cum = _cumsum_chunked(mag)
     thresh = roll_percent * cum[..., -1:]
     hit = cum >= thresh
     big = jnp.float32(np.finfo(np.float32).max)
@@ -474,8 +504,8 @@ def zcr_mean(y: jnp.ndarray, threshold: float = 1e-10) -> jnp.ndarray:
     frame never counts, matching zero_crossings' pad=True).
     """
     frames = frame_signal(y, 'edge')                             # (B, T, W)
-    z = jnp.where(jnp.abs(frames) <= threshold, 0.0, frames)
-    neg = jnp.signbit(z)
+    # neg iff x < -thr (see zcr_mean_hops: exact signbit-after-clamp rewrite)
+    neg = frames < -threshold
     crossings = neg[..., 1:] != neg[..., :-1]
     rate = jnp.sum(crossings, axis=-1).astype(jnp.float32) / N_FFT
     return jnp.mean(rate, axis=-1)
