@@ -115,6 +115,37 @@ def _windowed_dft_bases():
     return cos, sin
 
 
+@lru_cache(maxsize=1)
+def _hop_dft_bases():
+    """UNWINDOWED cos/sin DFT bases for one 512-sample hop at the full
+    2048-point bin resolution, (HOP, N_BINS+1) float32. One shared basis
+    serves every hop (contraction length 512, not 2048): the window is
+    applied afterwards in the frequency domain and frames are assembled
+    from hop spectra with exact {1,-i,-1,i} twiddles — 4x fewer MXU
+    FLOPs than windowed per-slab bases. Bin k=N_BINS (1025) is carried so
+    the Hann stencil has a right neighbor at k=1024."""
+    n = np.arange(HOP)[:, None]
+    k = np.arange(N_BINS + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / N_FFT
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+@lru_cache(maxsize=1)
+def _hop_twiddles():
+    """Exact frame-assembly twiddles c_i[k] = e^{-i*pi*i*k/2}, i=0..3.
+
+    Frame t = concat(hops t..t+3), so its rectangular DFT is
+    U_t[k] = sum_i e^{-2*pi*i*(512 i k)/2048} * H_{t+i}[k] with
+    coefficients cycling through {1, -i, -1, i} by (i*k) mod 4 — all
+    entries are exact 0/+-1 floats (no rounding). Returns (re, im),
+    each (4, N_BINS+1) float32."""
+    k = np.arange(N_BINS + 1)
+    re_cycle = np.array([1.0, 0.0, -1.0, 0.0], np.float32)
+    im_cycle = np.array([0.0, -1.0, 0.0, 1.0], np.float32)
+    m = (np.arange(4)[:, None] * k[None, :]) % 4
+    return re_cycle[m], im_cycle[m]
+
+
 def _hops(y: jnp.ndarray, pad_mode: str) -> jnp.ndarray:
     """Center-padded signal reshaped to (B, _N_HOPS, HOP)."""
     pad = N_FFT // 2
@@ -123,30 +154,51 @@ def _hops(y: jnp.ndarray, pad_mode: str) -> jnp.ndarray:
 
 
 def hop_spectrograms(y: jnp.ndarray):
-    """(mag, power) via 4 hop-slab matmuls with window-folded bases.
+    """(mag, power) via ONE shared-basis hop DFT + frequency-domain Hann.
 
     Equivalent to stft_spectrograms up to summation order; runs at
     3-pass bf16-split MXU precision (error floor well under librosa's
-    top_db=-80 dB clamp — see dft_spectrograms precision notes). Frame t
-    spans hop-slices [t, t+4), so slab i contributes
-    hops[:, t+i] @ bases[i*HOP:(i+1)*HOP] — the (B, T, 2048) frame
-    tensor never exists, saving two HBM round trips of ~68 MB at
-    batch 64."""
+    top_db=-80 dB clamp — see dft_spectrograms precision notes).
+
+    Three exact identities make this 4x cheaper in MXU FLOPs than
+    windowed per-frame (or per-slab) DFT matmuls:
+      1. Every 512-sample hop uses the SAME unwindowed (512, 1026) basis
+         at 2048-point resolution — contraction length 512, and 133 hops
+         replace 130 overlapping 2048-sample frames.
+      2. Frame t = concat(hops t..t+3), so its rectangular DFT is an
+         elementwise combine of 4 hop spectra with twiddles in
+         {1, -i, -1, i} (exact 0/+-1 floats, _hop_twiddles).
+      3. The periodic Hann window is a 3-point stencil in frequency:
+         V[k] = 0.5*U[k] - 0.25*(U[k-1] + U[k+1]); at k=0 the left
+         neighbor is U[-1] = conj(U[1]) (real frames).
+    The (B, T, 2048) frame tensor never exists, and the matmul work is
+    B*133*512*1026 MACs instead of B*130*2048*1025."""
     hc = _hops(y, 'constant')
-    cosw, sinw = (jnp.asarray(x) for x in _windowed_dft_bases())
+    cosb, sinb = (jnp.asarray(x) for x in _hop_dft_bases())
     B = y.shape[0]
-    M = B * N_FRAMES
-    re = jnp.zeros((M, N_BINS), jnp.float32)
-    im = jnp.zeros((M, N_BINS), jnp.float32)
-    for i in range(_HOP_RATIO):
-        slab = hc[:, i:i + N_FRAMES].reshape(M, HOP)
-        re = re + jnp.dot(slab, cosw[i * HOP:(i + 1) * HOP],
-                          precision=jax.lax.Precision.HIGH,
-                          preferred_element_type=jnp.float32)
-        im = im + jnp.dot(slab, sinw[i * HOP:(i + 1) * HOP],
-                          precision=jax.lax.Precision.HIGH,
-                          preferred_element_type=jnp.float32)
-    P = (re * re + im * im).reshape(B, N_FRAMES, N_BINS)
+    flat = hc.reshape(B * _N_HOPS, HOP)
+    hre = jnp.dot(flat, cosb, precision=jax.lax.Precision.HIGH,
+                  preferred_element_type=jnp.float32
+                  ).reshape(B, _N_HOPS, N_BINS + 1)
+    him = jnp.dot(flat, sinb, precision=jax.lax.Precision.HIGH,
+                  preferred_element_type=jnp.float32
+                  ).reshape(B, _N_HOPS, N_BINS + 1)
+    twid_re, twid_im = (jnp.asarray(x) for x in _hop_twiddles())
+    ure = sum(hre[:, i:i + N_FRAMES] * twid_re[i]
+              - him[:, i:i + N_FRAMES] * twid_im[i]
+              for i in range(_HOP_RATIO))
+    uim = sum(hre[:, i:i + N_FRAMES] * twid_im[i]
+              + him[:, i:i + N_FRAMES] * twid_re[i]
+              for i in range(_HOP_RATIO))
+    # periodic-Hann stencil over bins 1..1024 (bin 1025 exists only to
+    # feed k=1024's right neighbor); k=0 uses U[-1] = conj(U[1])
+    vre = 0.5 * ure[..., 1:-1] - 0.25 * (ure[..., :-2] + ure[..., 2:])
+    vim = 0.5 * uim[..., 1:-1] - 0.25 * (uim[..., :-2] + uim[..., 2:])
+    vre0 = 0.5 * ure[..., :1] - 0.5 * ure[..., 1:2]
+    vim0 = 0.5 * uim[..., :1]
+    vre = jnp.concatenate([vre0, vre], axis=-1)
+    vim = jnp.concatenate([vim0, vim], axis=-1)
+    P = vre * vre + vim * vim
     return jnp.sqrt(P), P
 
 
