@@ -360,15 +360,37 @@ def estimate_tuning_from_power(P: jnp.ndarray, resolution: float = 0.01,
     residuals at `resolution`, return the fullest bin's left edge.
     """
     B = P.shape[0]
-    pitches, mags, mask = piptrack_candidates(P)
-    # Candidates only exist inside the piptrack [fmin, fmax) band; slice
-    # those bins statically before the O(K log K) steps below (3x fewer
-    # elements to sort; numerics unchanged — everything outside is masked).
+    # Candidates only exist inside the piptrack [fmin, fmax) band, so the
+    # parabolic interpolation / localmax test runs on a margin-1 slice of
+    # that band only (~360 of 1025 bins): band bins see their TRUE
+    # neighbors (the full-spectrum version also gives them true
+    # neighbors — its self-comparing edge padding only affects bins 0 and
+    # N_BINS-1, both outside the band), and the out-of-band bins it
+    # skips were discarded by the frequency mask anyway. Only the
+    # per-frame reference max spans the full spectrum, as in
+    # piptrack_candidates (kept as the full-width reference
+    # implementation; see tests).
     freqs_np = filters.fft_frequencies(SR, N_FFT)
     band = np.nonzero((freqs_np >= 150.0) & (freqs_np < 4000.0))[0]
     lo_bin, hi_bin = int(band[0]), int(band[-1]) + 1
-    pitches = pitches[..., lo_bin:hi_bin]
-    mags = mags[..., lo_bin:hi_bin]
+    if lo_bin >= 1 and hi_bin <= N_BINS - 1:
+        S = P[..., lo_bin - 1:hi_bin + 1]          # band + 1-bin margin
+        avg = 0.5 * (S[..., 2:] - S[..., :-2])
+        denom = 2.0 * S[..., 1:-1] - S[..., 2:] - S[..., :-2]
+        shift = avg / (denom + (jnp.abs(denom) < _TINY32))
+        dskew = 0.5 * avg * shift
+        ref_value = 0.1 * jnp.max(P, axis=-1, keepdims=True)  # full max
+        masked = S * (S > ref_value)
+        localmax = ((masked[..., 1:-1] > masked[..., :-2])
+                    & (masked[..., 1:-1] >= masked[..., 2:]))
+        bin_idx = jnp.arange(lo_bin, hi_bin, dtype=jnp.float32)
+        pitches = jnp.where(localmax,
+                            (bin_idx + shift) * float(SR) / N_FFT, 0.0)
+        mags = jnp.where(localmax, S[..., 1:-1] + dskew, 0.0)
+    else:  # non-default band touching a spectrum edge: full-width path
+        pitches, mags, _ = piptrack_candidates(P)
+        pitches = pitches[..., lo_bin:hi_bin]
+        mags = mags[..., lo_bin:hi_bin]
     # 2:1 exact compaction along frequency: piptrack's localmax test is
     # strict against the left neighbor and >= against the right, so two
     # ADJACENT bins can never both be candidates — each (2j, 2j+1) pair
