@@ -101,21 +101,6 @@ _N_HOPS = _HOP_TOTAL // HOP                    # 133
 
 
 @lru_cache(maxsize=1)
-def _windowed_dft_bases():
-    """cos/sin DFT bases with the periodic Hann window folded in,
-    (N_FFT, N_BINS) float32: DFT(w*x) = x @ (diag(w) @ C), so folding w
-    into the bases removes the per-frame window multiply AND the framed
-    tensor it would have to be applied to."""
-    n = np.arange(N_FFT)[:, None]
-    k = np.arange(N_BINS)[None, :]
-    ang = 2.0 * np.pi * n * k / N_FFT
-    w = np.asarray(filters.hann_window(N_FFT), np.float64)[:, None]
-    cos = (np.cos(ang) * w).astype(np.float32)
-    sin = (-np.sin(ang) * w).astype(np.float32)
-    return cos, sin
-
-
-@lru_cache(maxsize=1)
 def _hop_dft_bases():
     """UNWINDOWED cos/sin DFT bases for one 512-sample hop at the full
     2048-point bin resolution, (HOP, N_BINS+1) float32. One shared basis
