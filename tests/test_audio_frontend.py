@@ -222,6 +222,30 @@ class TestHopSlabFrontend:
         np.testing.assert_allclose(np.asarray(P_hop), np.asarray(P_ref),
                                    atol=5e-3, rtol=2e-4)
 
+    def test_hop_spectrograms_spectrum_edges(self):
+        """Signals that concentrate energy at the k=0 and k=N_BINS-1 bin
+        edges, where the frequency-domain Hann stencil needs the
+        U[-1] = conj(U[1]) identity (k=0) and the carried 1026th hop bin
+        (k=1024): DC offset, Nyquist-rate tone, lone impulse, and a wide
+        chirp."""
+        t = np.arange(af.N_SAMPLES, dtype=np.float64)
+        dc = np.full(af.N_SAMPLES, 0.3, np.float32)
+        nyq = (0.4 * np.cos(np.pi * t)).astype(np.float32)  # SR/2 tone
+        impulse = np.zeros(af.N_SAMPLES, np.float32)
+        impulse[af.N_SAMPLES // 2] = 1.0
+        chirp = (0.4 * np.sin(2 * np.pi * (20 + 5000 * t / af.N_SAMPLES)
+                              * t / af.SR)).astype(np.float32)
+        y = np.stack([dc, nyq, impulse, chirp])
+        mag_ref, P_ref = af.stft_spectrograms(y)
+        mag_hop, P_hop = af.hop_spectrograms(y)
+        np.testing.assert_allclose(np.asarray(mag_hop), np.asarray(mag_ref),
+                                   atol=2e-3, rtol=1e-4)
+        # the edge bins themselves, tighter
+        for k in (0, af.N_BINS - 1):
+            np.testing.assert_allclose(np.asarray(mag_hop[..., k]),
+                                       np.asarray(mag_ref[..., k]),
+                                       atol=2e-3, rtol=1e-4)
+
     def test_zcr_hops_identical(self):
         y = np.stack([SIGNALS['tone'], SIGNALS['noise'], SIGNALS['quiet']])
         # integer crossing counts decomposed per hop: exactly equal
