@@ -115,7 +115,7 @@ def run_bench():
     # one lands in a healthy phase — the sustained hardware rate, not
     # tunnel weather.
     windows = int(os.environ.get('MEC_BENCH_WINDOWS',
-                                 '6' if MODE == 'tpu' else '2'))
+                                 '8' if MODE == 'tpu' else '2'))
     gap = float(os.environ.get('MEC_BENCH_WINDOW_SLEEP',
                                '25' if MODE == 'tpu' else '0'))
     # Alternate pipelined (N workers) and serial windows: in healthy
