@@ -240,8 +240,17 @@ def mfcc_mean_from_power(P: jnp.ndarray) -> jnp.ndarray:
 # Tuning estimation (librosa.estimate_tuning via piptrack) + chroma
 # ----------------------------------------------------------------------
 
-def piptrack_candidates(P: jnp.ndarray, fmin: float = 150.0,
-                        fmax: float = 4000.0, threshold: float = 0.1):
+# librosa.piptrack defaults as invoked by estimate_tuning; the band-limited
+# fast path in estimate_tuning_from_power shares these — change them HERE,
+# not at a call site, or the two implementations drift.
+PIP_FMIN = 150.0
+PIP_FMAX = 4000.0
+PIP_THRESHOLD = 0.1
+
+
+def piptrack_candidates(P: jnp.ndarray, fmin: float = PIP_FMIN,
+                        fmax: float = PIP_FMAX,
+                        threshold: float = PIP_THRESHOLD):
     """Parabolic-interpolated pitch candidates from a power spectrogram.
 
     Mirrors librosa.piptrack defaults (as invoked by estimate_tuning with
@@ -356,7 +365,7 @@ def estimate_tuning_from_power(P: jnp.ndarray, resolution: float = 0.01,
     # piptrack_candidates (kept as the full-width reference
     # implementation; see tests).
     freqs_np = filters.fft_frequencies(SR, N_FFT)
-    band = np.nonzero((freqs_np >= 150.0) & (freqs_np < 4000.0))[0]
+    band = np.nonzero((freqs_np >= PIP_FMIN) & (freqs_np < PIP_FMAX))[0]
     lo_bin, hi_bin = int(band[0]), int(band[-1]) + 1
     if lo_bin >= 1 and hi_bin <= N_BINS - 1:
         S = P[..., lo_bin - 1:hi_bin + 1]          # band + 1-bin margin
@@ -364,7 +373,7 @@ def estimate_tuning_from_power(P: jnp.ndarray, resolution: float = 0.01,
         denom = 2.0 * S[..., 1:-1] - S[..., 2:] - S[..., :-2]
         shift = avg / (denom + (jnp.abs(denom) < _TINY32))
         dskew = 0.5 * avg * shift
-        ref_value = 0.1 * jnp.max(P, axis=-1, keepdims=True)  # full max
+        ref_value = PIP_THRESHOLD * jnp.max(P, axis=-1, keepdims=True)
         masked = S * (S > ref_value)
         localmax = ((masked[..., 1:-1] > masked[..., :-2])
                     & (masked[..., 1:-1] >= masked[..., 2:]))
@@ -598,12 +607,12 @@ def audio_features_56(y: jnp.ndarray, use_pallas: bool = False
     if y.ndim == 1:
         y = y[None, :]
     if use_pallas and Config.DFT_PRECISION == 'high':
-        # Serving default: hop-slab frontend — window folded into the
-        # DFT bases, zcr/rms from per-hop statistics, the (B, T, 2048)
-        # frame tensor never materialized (measured 2026-08-17 at
-        # batch 64: full frontend 7.8 ms fp32-highest frames path ->
-        # 6.0 ms XLA-high frames path; hop-slab removes the remaining
-        # frame-tensor HBM traffic).
+        # Serving default: hop-slab frontend — one shared unwindowed hop
+        # DFT basis with the Hann window applied as its exact 3-point
+        # frequency stencil (see hop_spectrograms), zcr/rms from per-hop
+        # statistics, the (B, T, 2048) frame tensor never materialized
+        # (measured 2026-08-17 at batch 64: framed-path frontend 7.8 ms
+        # fp32-highest / 6.0 ms XLA-high -> 3.44 ms hop-slab).
         from mec_tpu.ops import pallas_kernels as pk
         mag, P = hop_spectrograms(y)
         mfcc = pk.mfcc_mean_pallas(P)
