@@ -58,9 +58,23 @@ if Config.COMPUTE_DTYPE == "float32":
 # ResNet50 + frontend fused) and this environment's remote compile service
 # is slow/variable; caching compiled executables across processes cuts
 # cold starts ~5x. Opt out with MEC_JAX_CACHE_DIR=''.
+#
+# The default cache path is suffixed with a CPU fingerprint: XLA:CPU AOT
+# entries are machine-feature-specific, so a cache directory shared across
+# heterogeneous hosts (containers mounting the same /tmp) must never load
+# an executable compiled for another CPU's features (SIGILL) — the same
+# failure mode the native .so cache keys against (native/build.py). An
+# explicit MEC_JAX_CACHE_DIR is used verbatim.
 import os as _os
 
-_cache_dir = _os.environ.get("MEC_JAX_CACHE_DIR", "/tmp/mec_jax_cache")
+_cache_dir = _os.environ.get("MEC_JAX_CACHE_DIR")
+if _cache_dir is None:
+    import hashlib as _hashlib
+
+    from mec_tpu.native.build import _cpu_fingerprint
+
+    _cache_dir = ("/tmp/mec_jax_cache-"
+                  + _hashlib.sha256(_cpu_fingerprint()).hexdigest()[:12])
 if _cache_dir:
     import jax as _jax2
 
