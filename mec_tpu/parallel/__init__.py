@@ -8,8 +8,14 @@ TPU-native replacement is a single process owning the chip(s) and a
   * axis 'data'  — batch data parallelism (requests / training batches)
   * axis 'model' — tensor parallelism for the BERT encoder (Megatron-style
     column/row-split FFN + per-head attention splits); a no-op at size 1
+  * axis 'pipe'  — GPipe pipeline parallelism for the BERT encoder
+    (parallel/pipeline.py: shard_map + ppermute microbatch schedule)
 
-GSPMD inserts the ICI collectives; nothing here speaks NCCL/MPI.
+GSPMD inserts the ICI collectives for 'data'/'model'; the pipeline's
+stage-to-stage sends are explicit ppermutes. Nothing here speaks
+NCCL/MPI. Sequence parallelism and expert parallelism are deliberately
+absent: the longest sequence is 128 tokens (attention is ~3% of BERT
+step time at that length) and no model in the inventory is MoE.
 """
 
 from mec_tpu.parallel.mesh import (
@@ -25,9 +31,16 @@ from mec_tpu.parallel.partition import (
     partition_spec_for,
     shard_variables,
 )
+from mec_tpu.parallel.pipeline import (
+    bert_pipeline_forward,
+    pipeline_encoder,
+    stack_layer_params,
+    unstack_layer_params,
+)
 
 __all__ = [
     'make_mesh', 'batch_sharding', 'replicated', 'shard_batch',
     'local_mesh_shape', 'bert_partition_rules', 'partition_spec_for',
-    'shard_variables', 'initialize_multi_host',
+    'shard_variables', 'initialize_multi_host', 'bert_pipeline_forward',
+    'pipeline_encoder', 'stack_layer_params', 'unstack_layer_params',
 ]

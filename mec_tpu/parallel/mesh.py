@@ -20,6 +20,7 @@ from mec_tpu.config import Config
 
 DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
+PIPE_AXIS = 'pipe'
 
 
 def local_mesh_shape(n_devices: Optional[int] = None
@@ -40,13 +41,20 @@ def local_mesh_shape(n_devices: Optional[int] = None
 
 
 def make_mesh(data: Optional[int] = None, model: Optional[int] = None,
-              devices=None) -> Mesh:
-    """Build the ('data', 'model') mesh over the visible devices."""
+              devices=None, pipe: int = 1) -> Mesh:
+    """Build the ('data', 'model'[, 'pipe']) mesh over visible devices.
+
+    The 'pipe' axis (parallel/pipeline.py) is appended only when
+    pipe > 1 so all existing two-axis PartitionSpecs stay valid."""
     devs = list(devices if devices is not None else jax.devices())
     if data is None or model is None:
-        d, m = local_mesh_shape(len(devs))
+        d, m = local_mesh_shape(len(devs) // max(1, pipe))
         data = data if data is not None else d
         model = model if model is not None else m
+    if pipe and pipe > 1:
+        n = data * model * pipe
+        grid = np.array(devs[:n]).reshape(data, model, pipe)
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
     n = data * model
     grid = np.array(devs[:n]).reshape(data, model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))

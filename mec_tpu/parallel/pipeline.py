@@ -1,0 +1,258 @@
+"""GPipe-style pipeline parallelism for the BERT encoder.
+
+The reference has no pipeline story (single-GPU torch serving,
+reference inference/text_inference.py:37); this module exists for the
+TPU-pod regime the rebuild targets, completing the parallelism ladder
+next to DP (mesh 'data' axis), Megatron TP (parallel/partition.py) and
+multi-host DCN (parallel/distributed.py):
+
+  * encoder layers are stacked on a leading axis and that axis is
+    sharded over the mesh's 'pipe' axis (each stage holds
+    num_layers/S contiguous layers);
+  * a shard_map-ed microbatch schedule streams activations
+    stage-to-stage over ICI with lax.ppermute;
+  * XLA sees one lax.scan over the M+S-1 schedule ticks — static
+    shapes, no data-dependent Python control flow;
+  * jax.grad's transpose of ppermute runs the reverse schedule, so a
+    single jit covers forward+backward (GPipe: full activation stash,
+    optionally rematerialized per layer with jax.checkpoint).
+
+Composes with data parallelism (mesh ('data', ..., 'pipe')): the batch
+dim stays sharded on 'data' outside and inside the shard_map and
+activations never cross the 'data' axis.
+
+Design notes (TPU-first):
+  * Microbatch inputs live REPLICATED over 'pipe' (every stage holds
+    its full local batch): at emotion-model scale (seq<=128, hidden
+    768) the embeddings tensor is tiny, and replication buys a
+    gather-free, shape-static injection — no dynamic cross-device
+    slicing, which TPUs punish.
+  * Collection is one psum over 'pipe' of the last stage's output
+    buffer (zeros elsewhere): one ICI all-reduce per batch.
+  * Per-tick stage compute is a lax.scan over the stage's local layer
+    slice, so the whole pipeline is two nested scans.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from mec_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS
+
+
+def stack_layer_params(params: dict, num_layers: int,
+                       prefix: str = 'layer_') -> Any:
+    """Stack `params[f'{prefix}i']` for i in [0, num_layers) on a new
+    leading axis (the pipeline shards this axis over 'pipe')."""
+    layers = [params[f'{prefix}{i}'] for i in range(num_layers)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def unstack_layer_params(stacked: Any, prefix: str = 'layer_') -> dict:
+    """Inverse of stack_layer_params (canonical flax checkpoint layout)."""
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    return {f'{prefix}{i}':
+            jax.tree_util.tree_map(lambda x, i=i: x[i], stacked)
+            for i in range(n)}
+
+
+def pipeline_encoder(layer_apply: Callable[[Any, jnp.ndarray, jnp.ndarray],
+                                           jnp.ndarray],
+                     stacked: Any, hidden: jnp.ndarray,
+                     attn_bias: jnp.ndarray, mesh,
+                     num_microbatches: int = 2,
+                     data_axis: str = DATA_AXIS,
+                     pipe_axis: str = PIPE_AXIS,
+                     remat: bool = True) -> jnp.ndarray:
+    """Run stacked encoder layers as a GPipe pipeline over mesh[pipe_axis].
+
+    layer_apply(layer_params, h, bias) -> h applies ONE layer.
+    stacked: pytree with leading dim num_layers (divisible by the pipe
+    axis size). hidden: (B, L, H) embeddings, batch-sharded on
+    `data_axis`. attn_bias: (B, L) additive mask. Returns the final
+    hidden states (B, L, H) with the same sharding as `hidden`.
+    """
+    S = mesh.shape[pipe_axis]
+    M = int(num_microbatches)
+    num_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    if num_layers % S:
+        raise ValueError(f'{num_layers} layers do not split over '
+                         f'{S} pipeline stages')
+    dp = mesh.shape.get(data_axis, 1)
+    if (hidden.shape[0] // dp) % M:
+        raise ValueError(f'per-shard batch {hidden.shape[0]}/{dp} does '
+                         f'not split into {M} microbatches')
+
+    def shard_fn(local_layers, h_loc, bias_loc):
+        s = jax.lax.axis_index(pipe_axis)
+        mb = h_loc.shape[0] // M
+        xs = h_loc.reshape(M, mb, *h_loc.shape[1:])
+        biases = bias_loc.reshape(M, mb, bias_loc.shape[-1])
+
+        fwd_perm = [(i, i + 1) for i in range(S - 1)]
+
+        def tick(carry, t):
+            state, outs = carry
+            # stage 0 injects microbatch t (clamped: late ticks feed
+            # garbage that never reaches the collected output window)
+            inj = jax.lax.dynamic_index_in_dim(
+                xs, jnp.clip(t, 0, M - 1), 0, keepdims=False)
+            x = jnp.where(s == 0, inj, state)
+            # the microbatch flowing through stage s at tick t is t-s
+            bias = jax.lax.dynamic_index_in_dim(
+                biases, jnp.clip(t - s, 0, M - 1), 0, keepdims=False)
+
+            def one_layer(h, lp):
+                return layer_apply(lp, h, bias), None
+
+            body = jax.checkpoint(one_layer) if remat else one_layer
+            y, _ = jax.lax.scan(body, x, local_layers)
+            # last stage collects microbatch t-(S-1)
+            widx = jnp.clip(t - (S - 1), 0, M - 1)
+            valid = jnp.logical_and(s == S - 1, t >= S - 1)
+            cur = jax.lax.dynamic_index_in_dim(outs, widx, 0,
+                                               keepdims=False)
+            outs = jax.lax.dynamic_update_index_in_dim(
+                outs, jnp.where(valid, y, cur), widx, 0)
+            state = jax.lax.ppermute(y, pipe_axis, fwd_perm)
+            return (state, outs), None
+
+        (state, outs), _ = jax.lax.scan(
+            tick, (jnp.zeros_like(xs[0]), jnp.zeros_like(xs)),
+            jnp.arange(M + S - 1))
+        # broadcast the last stage's collection to every pipe rank
+        outs = jax.lax.psum(
+            jnp.where(s == S - 1, outs, jnp.zeros_like(outs)), pipe_axis)
+        return outs.reshape(h_loc.shape)
+
+    axis_names = set(mesh.axis_names)
+    batch_spec = P(data_axis) if data_axis in axis_names else P()
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(pipe_axis), batch_spec, batch_spec),
+        out_specs=batch_spec, check_vma=False,
+    )(stacked, hidden, attn_bias)
+
+
+def _layernorm(lp, x):
+    # flax nn.LayerNorm(eps=1e-12, use_fast_variance=False) semantics
+    m = x.mean(-1, keepdims=True)
+    v = ((x - m) ** 2).mean(-1, keepdims=True)
+    return (x - m) / jnp.sqrt(v + 1e-12) * lp['scale'] + lp['bias']
+
+
+def bert_pipeline_forward(model, variables: dict, input_ids: jnp.ndarray,
+                          attention_mask: jnp.ndarray, mesh,
+                          num_microbatches: int = 2, *,
+                          train: bool = False,
+                          dropout_rng: Optional[jax.Array] = None,
+                          remat: bool = True):
+    """BertForSequenceClassification forward with the encoder pipelined.
+
+    Logits/cls parity with model.apply (dropout off) <= 1e-5 on fp32
+    (tests/test_pipeline.py). Embeddings / pooler / classifier are
+    computed from the same param tree outside the shard_map (they are
+    <1% of the FLOPs; GSPMD keeps them batch-sharded on 'data'), the 12
+    encoder layers — ~99% of BERT's compute — run inside the pipeline.
+    Dropout (train=True) uses fresh folds of `dropout_rng`; it matches
+    the model's two dropout SITES (embeddings, pooled), not flax's rng
+    fold ordering, so stochastic training steps are valid but not
+    bit-identical to model.apply.
+    """
+    from mec_tpu.models.bert import BertLayer
+
+    p = variables['params']
+    dtype = model.dtype
+    B, L = input_ids.shape
+
+    # pad the batch to a multiple of dp x microbatches (static under
+    # jit); all-padded rows see an all-masked softmax (uniform, no NaN)
+    # and are sliced off the outputs below
+    need = mesh.shape.get(DATA_AXIS, 1) * int(num_microbatches)
+    pad = (-B) % need
+    if pad:
+        input_ids = jnp.concatenate(
+            [input_ids, jnp.zeros((pad, L), input_ids.dtype)])
+        attention_mask = jnp.concatenate(
+            [attention_mask, jnp.zeros((pad, L), attention_mask.dtype)])
+
+    word = jnp.take(p['word_embeddings']['embedding'], input_ids,
+                    axis=0).astype(dtype)
+    pos = p['position_embeddings']['embedding'][:L][None].astype(dtype)
+    tok = p['token_type_embeddings']['embedding'][0][None, None].astype(
+        dtype)  # token_type_ids are all zero (single-segment, as model)
+    h = _layernorm(p['embeddings_norm'], word + pos + tok)
+    if train and model.dropout_rate > 0 and dropout_rng is not None:
+        keep = 1.0 - model.dropout_rate
+        k = jax.random.fold_in(dropout_rng, 0)
+        h = h * jax.random.bernoulli(k, keep, h.shape) / keep
+
+    neg = jnp.finfo(jnp.float32 if dtype == jnp.bfloat16 else dtype).min
+    attn_bias = ((1.0 - attention_mask.astype(jnp.float32)) * neg
+                 ).astype(dtype)
+
+    layer = BertLayer(model.hidden_size, model.num_heads,
+                      model.intermediate_size, dtype,
+                      model.gelu_approximate)
+
+    def layer_apply(lp, x, bias):
+        return layer.apply({'params': lp}, x, bias)
+
+    stacked = stack_layer_params(p, model.num_layers)
+    hidden = pipeline_encoder(layer_apply, stacked, h.astype(dtype),
+                              attn_bias, mesh, num_microbatches,
+                              remat=remat)
+
+    cls = hidden[:, 0, :]
+    pooled = jnp.tanh(cls @ p['pooler']['kernel'] + p['pooler']['bias'])
+    if train and model.dropout_rate > 0 and dropout_rng is not None:
+        keep = 1.0 - model.dropout_rate
+        k = jax.random.fold_in(dropout_rng, 1)
+        pooled = pooled * jax.random.bernoulli(k, keep,
+                                               pooled.shape) / keep
+    logits = pooled @ p['classifier']['kernel'] + p['classifier']['bias']
+    return (logits.astype(jnp.float32)[:B], cls.astype(jnp.float32)[:B])
+
+
+def make_pipeline_steps(model, mesh, num_microbatches: int = 2):
+    """Pipeline-parallel drop-in for train_text_bert.make_steps.
+
+    Same contracts as training.common.fit expects:
+      train_step(state, batch, dropout_rng) -> (state, loss)
+      eval_step(variables, batch) -> logits
+    (no training.common import here: common.py imports parallel.mesh,
+    and parallel/__init__ imports this module).
+    Params stay in the canonical flax layout; the per-step stack of the
+    layer dicts is a few device-local copies under jit, which keeps
+    checkpoints/converters unchanged.
+    """
+    def _ce(logits, labels):
+        onehot = jax.nn.one_hot(labels, logits.shape[-1])
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -(onehot * logp).sum(axis=-1).mean()
+
+    @jax.jit
+    def train_step(state, batch, dropout_rng):
+        def loss_fn(params):
+            logits, _cls = bert_pipeline_forward(
+                model, {'params': params}, batch['ids'], batch['mask'],
+                mesh, num_microbatches, train=True,
+                dropout_rng=dropout_rng)
+            return _ce(logits, batch['label'])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    @jax.jit
+    def eval_step(variables, batch):
+        logits, _cls = bert_pipeline_forward(
+            model, variables, batch['ids'], batch['mask'], mesh,
+            num_microbatches)
+        return logits
+
+    return train_step, eval_step

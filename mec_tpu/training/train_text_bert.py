@@ -89,7 +89,8 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
           model_kwargs: Optional[dict] = None,
           tokenizer: Optional[WordPieceTokenizer] = None,
           texts=None, labels=None, verbose: bool = True,
-          seq_bucket: bool = True):
+          seq_bucket: bool = True, mesh_pipe: int = 0,
+          microbatches: int = 2):
     log = print if verbose else (lambda *_a, **_k: None)
     if texts is None:
         texts, labels = data.load_text_dataset(csv_path, fold_labels=False,
@@ -151,13 +152,21 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
     state = common.TrainState.create(variables, tx)
 
     mesh = None
-    if mesh_data > 1 or mesh_model > 1:
-        mesh = make_mesh(data=max(1, mesh_data), model=max(1, mesh_model))
+    if mesh_data > 1 or mesh_model > 1 or mesh_pipe > 1:
+        mesh = make_mesh(data=max(1, mesh_data), model=max(1, mesh_model),
+                         pipe=max(1, mesh_pipe))
         state = state.replace(
             params=shard_variables(mesh, state.params)) \
             if mesh_model > 1 else state
 
-    train_step, eval_step = make_steps(model)
+    if mesh_pipe > 1:
+        # GPipe over the encoder layers (parallel/pipeline.py); the
+        # batch must split into dp x microbatches equal slices
+        from mec_tpu.parallel.pipeline import make_pipeline_steps
+        train_step, eval_step = make_pipeline_steps(
+            model, mesh, num_microbatches=microbatches)
+    else:
+        train_step, eval_step = make_steps(model)
     state, best_vars, history = common.fit(
         state, train_data, val_data, train_step, eval_step,
         epochs=epochs, batch_size=batch_size, seed=seed,
@@ -207,6 +216,12 @@ def main(argv=None):
     p.add_argument('--mesh-data', type=int, default=0)
     p.add_argument('--mesh-model', type=int, default=0,
                    help='tensor-parallel axis size for the encoder')
+    p.add_argument('--mesh-pipe', type=int, default=0,
+                   help='pipeline-parallel stages for the encoder '
+                        '(GPipe; num_layers must divide evenly)')
+    p.add_argument('--microbatches', type=int, default=2,
+                   help='pipeline microbatches per step (with '
+                        '--mesh-pipe; batch must split evenly)')
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 compute (params stay float32): 3.3x '
                         'step rate on the v5e (29 vs 95 ms at batch 32)')
@@ -220,7 +235,8 @@ def main(argv=None):
           args.max_length, args.models_dir, args.pretrained_dir,
           args.mesh_data, args.mesh_model,
           model_kwargs={'dtype': jnp.bfloat16} if args.bf16 else None,
-          seq_bucket=not args.no_seq_bucket)
+          seq_bucket=not args.no_seq_bucket, mesh_pipe=args.mesh_pipe,
+          microbatches=args.microbatches)
 
 
 if __name__ == '__main__':
