@@ -171,15 +171,19 @@ def bert_pipeline_forward(model, variables: dict, input_ids: jnp.ndarray,
     B, L = input_ids.shape
 
     # pad the batch to a multiple of dp x microbatches (static under
-    # jit); all-padded rows see an all-masked softmax (uniform, no NaN)
-    # and are sliced off the outputs below
+    # jit) and slice the outputs back below. Pad rows attend ONLY the
+    # CLS position — an all-zero mask would make every attention row
+    # all -inf, which is merely uniform-softmax in fp32 but NaN in
+    # bf16 (finfo(float32).min rounds to -inf), and the backward
+    # pass's NaN*0 would poison every weight gradient.
     need = mesh.shape.get(DATA_AXIS, 1) * int(num_microbatches)
     pad = (-B) % need
     if pad:
         input_ids = jnp.concatenate(
             [input_ids, jnp.zeros((pad, L), input_ids.dtype)])
-        attention_mask = jnp.concatenate(
-            [attention_mask, jnp.zeros((pad, L), attention_mask.dtype)])
+        pad_mask = jnp.zeros((pad, L), attention_mask.dtype
+                             ).at[:, 0].set(1)
+        attention_mask = jnp.concatenate([attention_mask, pad_mask])
 
     word = jnp.take(p['word_embeddings']['embedding'], input_ids,
                     axis=0).astype(dtype)
@@ -225,16 +229,17 @@ def make_pipeline_steps(model, mesh, num_microbatches: int = 2):
     Same contracts as training.common.fit expects:
       train_step(state, batch, dropout_rng) -> (state, loss)
       eval_step(variables, batch) -> logits
-    (no training.common import here: common.py imports parallel.mesh,
-    and parallel/__init__ imports this module).
     Params stay in the canonical flax layout; the per-step stack of the
     layer dicts is a few device-local copies under jit, which keeps
     checkpoints/converters unchanged.
     """
+    # deferred: common.py imports parallel.mesh, whose parent package
+    # imports this module — a module-level import here would cycle
+    from mec_tpu.training.common import softmax_cross_entropy
+
     def _ce(logits, labels):
-        onehot = jax.nn.one_hot(labels, logits.shape[-1])
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        return -(onehot * logp).sum(axis=-1).mean()
+        return softmax_cross_entropy(
+            logits, jax.nn.one_hot(labels, logits.shape[-1]))
 
     @jax.jit
     def train_step(state, batch, dropout_rng):

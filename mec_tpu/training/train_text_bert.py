@@ -92,6 +92,12 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
           seq_bucket: bool = True, mesh_pipe: int = 0,
           microbatches: int = 2):
     log = print if verbose else (lambda *_a, **_k: None)
+    if mesh_pipe > 1 and mesh_model > 1:
+        # the pipeline stage body is not tensor-parallel-aware: the
+        # shard_map would all-gather the TP-sharded params every step
+        # and each 'model' rank would duplicate the whole pipeline
+        raise SystemExit('--mesh-model cannot be combined with '
+                         '--mesh-pipe; pick TP or PP for the encoder')
     if texts is None:
         texts, labels = data.load_text_dataset(csv_path, fold_labels=False,
                                                verbose=verbose)

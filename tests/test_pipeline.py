@@ -120,6 +120,41 @@ def test_pipeline_forward_pads_ragged_batch():
                                atol=1e-5)
 
 
+def test_pipeline_bf16_ragged_grads_finite():
+    # regression: all-zero-mask batch padding made the pad rows' -inf
+    # attention bias NaN in bf16 and the backward NaN*0 poisoned every
+    # weight grad; pad rows now attend only CLS
+    model = BertForSequenceClassification(
+        vocab_size=97, hidden_size=32, num_layers=4, num_heads=2,
+        intermediate_size=64, max_position=32, dropout_rate=0.0,
+        dtype=jnp.bfloat16)
+    ids, mask, labels = tiny_batch(B=6, seed=9)
+    variables = model.init(jax.random.PRNGKey(6),
+                           jnp.zeros((1, 8), jnp.int32),
+                           jnp.ones((1, 8), jnp.int32))
+    mesh = make_mesh(data=2, model=1, pipe=4)
+    onehot = jax.nn.one_hot(labels, 7)
+
+    def loss(params):
+        logits, _ = bert_pipeline_forward(model, {'params': params},
+                                          ids, mask, mesh, 2)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -(onehot * logp).sum(axis=-1).mean()
+
+    grads = jax.jit(jax.grad(loss))(variables['params'])
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+
+def test_trainer_rejects_tp_with_pp():
+    from mec_tpu.training import train_text_bert
+    with pytest.raises(SystemExit, match='mesh-pipe'):
+        train_text_bert.train(
+            csv_path=None, texts=np.array(['a b'] * 8, object),
+            labels=np.zeros(8, np.int32), tokenizer=None, epochs=1,
+            mesh_model=2, mesh_pipe=2)
+
+
 def test_bert_trainer_mesh_pipe(tmp_path):
     """train_text_bert --mesh-pipe end to end on the virtual mesh."""
     import string
