@@ -19,7 +19,11 @@ multi-host DCN (parallel/distributed.py):
 
 Composes with data parallelism (mesh ('data', ..., 'pipe')): the batch
 dim stays sharded on 'data' outside and inside the shard_map and
-activations never cross the 'data' axis.
+activations never cross the 'data' axis. Composes with Megatron tensor
+parallelism too (3D DPxTPxPP): tp_bert_layer_apply runs each stage's
+layers on 1/m of the heads + FFN width per 'model' rank (param shards
+per stacked_tp_specs) with two psums over 'model' per layer — exactly
+the partition.py rules, executed manually inside the shard_map.
 
 Design notes (TPU-first):
   * Microbatch inputs live REPLICATED over 'pipe' (every stage holds
@@ -42,7 +46,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from mec_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS
+from mec_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS
 
 
 def stack_layer_params(params: dict, num_layers: int,
@@ -61,6 +65,76 @@ def unstack_layer_params(stacked: Any, prefix: str = 'layer_') -> dict:
             for i in range(n)}
 
 
+def stacked_tp_specs(pipe_axis: str = PIPE_AXIS,
+                     model_axis: str = MODEL_AXIS) -> dict:
+    """shard_map in_specs for a stacked BertLayer param tree under TP+PP.
+
+    Leading dim (the layer stack) shards over `pipe_axis`; kernel dims
+    follow the Megatron column/row rules of parallel/partition.py
+    (column-split q/k/v + FFN-in, row-split output projections,
+    LayerNorms and row-output biases replicated over `model_axis`).
+    """
+    col_k = P(pipe_axis, None, model_axis)
+    row_k = P(pipe_axis, model_axis, None)
+    col_b = P(pipe_axis, model_axis)
+    rep = P(pipe_axis)
+    ln = {'scale': rep, 'bias': rep}
+    return {
+        'attention_self': {n: {'kernel': col_k, 'bias': col_b}
+                           for n in ('query', 'key', 'value')},
+        'attention_output': {'kernel': row_k, 'bias': rep},
+        'attention_norm': ln,
+        'intermediate': {'kernel': col_k, 'bias': col_b},
+        'output': {'kernel': row_k, 'bias': rep},
+        'output_norm': ln,
+    }
+
+
+def tp_bert_layer_apply(nh_local: int, model_axis: str = MODEL_AXIS,
+                        gelu_approximate: bool = False) -> Callable:
+    """Megatron-TP BertLayer forward on LOCAL param shards.
+
+    Same math as models.bert.BertLayer (post-LN, fp32 softmax, erf or
+    tanh GELU) but each rank holds 1/m of the heads and 1/m of the FFN
+    width (shards per stacked_tp_specs); the two row-parallel output
+    projections psum over `model_axis`, after which hidden is replicated
+    over 'model' again — two ICI all-reduces per layer, the Megatron
+    pattern. jax.grad's transpose of the replicated-in/psum-out pair
+    yields the matching backward collectives for free.
+    """
+
+    def dense(p, x):
+        return x @ p['kernel'].astype(x.dtype) + p['bias'].astype(x.dtype)
+
+    def apply(lp, h, bias):
+        B, L, _H = h.shape
+        q = dense(lp['attention_self']['query'], h)
+        k = dense(lp['attention_self']['key'], h)
+        v = dense(lp['attention_self']['value'], h)
+        hd = q.shape[-1] // nh_local  # per-head dim is sharding-invariant
+        q = q.reshape(B, L, nh_local, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, nh_local, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, nh_local, hd).transpose(0, 2, 1, 3)
+        scores = (q @ k.transpose(0, 1, 3, 2)) / jnp.sqrt(hd).astype(h.dtype)
+        scores = scores + bias[:, None, None, :]
+        probs = jax.nn.softmax(scores.astype(jnp.float32),
+                               axis=-1).astype(h.dtype)
+        ctx = (probs @ v).transpose(0, 2, 1, 3).reshape(B, L, -1)
+        att = jax.lax.psum(
+            ctx @ lp['attention_output']['kernel'].astype(h.dtype),
+            model_axis) + lp['attention_output']['bias'].astype(h.dtype)
+        # cast LN back: fp32 scale/bias would otherwise promote bf16 hidden
+        h = _layernorm(lp['attention_norm'], h + att).astype(h.dtype)
+        inter = jax.nn.gelu(dense(lp['intermediate'], h),
+                            approximate=gelu_approximate)
+        out = jax.lax.psum(
+            inter @ lp['output']['kernel'].astype(h.dtype),
+            model_axis) + lp['output']['bias'].astype(h.dtype)
+        return _layernorm(lp['output_norm'], h + out).astype(h.dtype)
+
+    return apply
+
+
 def pipeline_encoder(layer_apply: Callable[[Any, jnp.ndarray, jnp.ndarray],
                                            jnp.ndarray],
                      stacked: Any, hidden: jnp.ndarray,
@@ -68,7 +142,8 @@ def pipeline_encoder(layer_apply: Callable[[Any, jnp.ndarray, jnp.ndarray],
                      num_microbatches: int = 2,
                      data_axis: str = DATA_AXIS,
                      pipe_axis: str = PIPE_AXIS,
-                     remat: bool = True) -> jnp.ndarray:
+                     remat: bool = True,
+                     param_specs: Any = None) -> jnp.ndarray:
     """Run stacked encoder layers as a GPipe pipeline over mesh[pipe_axis].
 
     layer_apply(layer_params, h, bias) -> h applies ONE layer.
@@ -76,6 +151,11 @@ def pipeline_encoder(layer_apply: Callable[[Any, jnp.ndarray, jnp.ndarray],
     axis size). hidden: (B, L, H) embeddings, batch-sharded on
     `data_axis`. attn_bias: (B, L) additive mask. Returns the final
     hidden states (B, L, H) with the same sharding as `hidden`.
+
+    param_specs: optional pytree of PartitionSpecs for `stacked` (default
+    P(pipe_axis) on every leaf). Pass stacked_tp_specs() together with a
+    tp_bert_layer_apply body to compose tensor parallelism with the
+    pipeline on a ('data','model','pipe') mesh.
     """
     S = mesh.shape[pipe_axis]
     M = int(num_microbatches)
@@ -132,9 +212,12 @@ def pipeline_encoder(layer_apply: Callable[[Any, jnp.ndarray, jnp.ndarray],
 
     axis_names = set(mesh.axis_names)
     batch_spec = P(data_axis) if data_axis in axis_names else P()
+    if param_specs is None:
+        param_specs = jax.tree_util.tree_map(lambda _: P(pipe_axis),
+                                             stacked)
     return shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(pipe_axis), batch_spec, batch_spec),
+        in_specs=(param_specs, batch_spec, batch_spec),
         out_specs=batch_spec, check_vma=False,
     )(stacked, hidden, attn_bias)
 
@@ -200,17 +283,31 @@ def bert_pipeline_forward(model, variables: dict, input_ids: jnp.ndarray,
     attn_bias = ((1.0 - attention_mask.astype(jnp.float32)) * neg
                  ).astype(dtype)
 
-    layer = BertLayer(model.hidden_size, model.num_heads,
-                      model.intermediate_size, dtype,
-                      model.gelu_approximate)
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    param_specs = None
+    if tp > 1:
+        # Megatron TP inside the pipeline stages: shard heads + FFN width
+        # over 'model', psum the row-parallel projections per layer.
+        if model.num_heads % tp or model.intermediate_size % tp:
+            raise ValueError(
+                f'{model.num_heads} heads / {model.intermediate_size} FFN '
+                f'width do not split over model axis {tp}')
+        layer_apply = tp_bert_layer_apply(
+            model.num_heads // tp,
+            gelu_approximate=model.gelu_approximate)
+        param_specs = stacked_tp_specs()
+    else:
+        layer = BertLayer(model.hidden_size, model.num_heads,
+                          model.intermediate_size, dtype,
+                          model.gelu_approximate)
 
-    def layer_apply(lp, x, bias):
-        return layer.apply({'params': lp}, x, bias)
+        def layer_apply(lp, x, bias):
+            return layer.apply({'params': lp}, x, bias)
 
     stacked = stack_layer_params(p, model.num_layers)
     hidden = pipeline_encoder(layer_apply, stacked, h.astype(dtype),
                               attn_bias, mesh, num_microbatches,
-                              remat=remat)
+                              remat=remat, param_specs=param_specs)
 
     cls = hidden[:, 0, :]
     pooled = jnp.tanh(cls @ p['pooler']['kernel'] + p['pooler']['bias'])

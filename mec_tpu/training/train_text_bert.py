@@ -92,12 +92,6 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
           seq_bucket: bool = True, mesh_pipe: int = 0,
           microbatches: int = 2):
     log = print if verbose else (lambda *_a, **_k: None)
-    if mesh_pipe > 1 and mesh_model > 1:
-        # the pipeline stage body is not tensor-parallel-aware: the
-        # shard_map would all-gather the TP-sharded params every step
-        # and each 'model' rank would duplicate the whole pipeline
-        raise SystemExit('--mesh-model cannot be combined with '
-                         '--mesh-pipe; pick TP or PP for the encoder')
     if texts is None:
         texts, labels = data.load_text_dataset(csv_path, fold_labels=False,
                                                verbose=verbose)
@@ -224,7 +218,9 @@ def main(argv=None):
                    help='tensor-parallel axis size for the encoder')
     p.add_argument('--mesh-pipe', type=int, default=0,
                    help='pipeline-parallel stages for the encoder '
-                        '(GPipe; num_layers must divide evenly)')
+                        '(GPipe; num_layers must divide evenly; '
+                        'composes with --mesh-model into a 3D '
+                        'DPxTPxPP mesh)')
     p.add_argument('--microbatches', type=int, default=2,
                    help='pipeline microbatches per step (with '
                         '--mesh-pipe; batch must split evenly)')

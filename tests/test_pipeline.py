@@ -51,15 +51,16 @@ def test_stack_unstack_roundtrip():
             orig, got)
 
 
-@pytest.mark.parametrize('dp,pp,M', [(2, 4, 2), (1, 8, 4)])
-def test_pipeline_forward_matches_plain(dp, pp, M):
+@pytest.mark.parametrize('dp,tp,pp,M', [(2, 1, 4, 2), (1, 1, 8, 4),
+                                        (2, 2, 2, 2), (1, 2, 4, 2)])
+def test_pipeline_forward_matches_plain(dp, tp, pp, M):
     model = tiny_model(8)
     ids, mask, _ = tiny_batch(B=8)
     variables = model.init(jax.random.PRNGKey(1),
                            jnp.zeros((1, 8), jnp.int32),
                            jnp.ones((1, 8), jnp.int32))
     ref_logits, ref_cls = model.apply(variables, ids, mask)
-    mesh = make_mesh(data=dp, model=1, pipe=pp)
+    mesh = make_mesh(data=dp, model=tp, pipe=pp)
     logits, cls = jax.jit(
         lambda v, i, m: bert_pipeline_forward(model, v, i, m, mesh, M)
     )(variables, ids, mask)
@@ -146,17 +147,55 @@ def test_pipeline_bf16_ragged_grads_finite():
         assert np.isfinite(np.asarray(leaf, np.float32)).all()
 
 
-def test_trainer_rejects_tp_with_pp():
-    from mec_tpu.training import train_text_bert
-    with pytest.raises(SystemExit, match='mesh-pipe'):
-        train_text_bert.train(
-            csv_path=None, texts=np.array(['a b'] * 8, object),
-            labels=np.zeros(8, np.int32), tokenizer=None, epochs=1,
-            mesh_model=2, mesh_pipe=2)
+def test_tp_pipeline_grads_match_plain():
+    """3D DPxTPxPP: grads through the Megatron stage body (psum over
+    'model' inside the shard_map) match the plain model."""
+    model = tiny_model(8)
+    ids, mask, labels = tiny_batch(B=8, seed=11)
+    variables = model.init(jax.random.PRNGKey(8),
+                           jnp.zeros((1, 8), jnp.int32),
+                           jnp.ones((1, 8), jnp.int32))
+    mesh = make_mesh(data=2, model=2, pipe=2)
+    onehot = jax.nn.one_hot(labels, 7)
+
+    def ce(logits):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -(onehot * logp).sum(axis=-1).mean()
+
+    def loss_plain(params):
+        logits, _ = model.apply({'params': params}, ids, mask)
+        return ce(logits)
+
+    def loss_pipe(params):
+        logits, _ = bert_pipeline_forward(model, {'params': params},
+                                          ids, mask, mesh, 2)
+        return ce(logits)
+
+    g_plain = jax.jit(jax.grad(loss_plain))(variables['params'])
+    g_pipe = jax.jit(jax.grad(loss_pipe))(variables['params'])
+    flat_a, _ = jax.tree_util.tree_flatten_with_path(g_plain)
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(g_pipe)[0])
+    for kp, a in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(flat_b[kp]), atol=2e-5,
+            err_msg='/'.join(str(getattr(k, "key", k)) for k in kp))
+
+
+def test_tp_pipeline_rejects_unsplittable_heads():
+    model = tiny_model(8)  # 2 heads cannot split over model axis 4
+    ids, mask, _ = tiny_batch(B=8)
+    variables = model.init(jax.random.PRNGKey(9),
+                           jnp.zeros((1, 8), jnp.int32),
+                           jnp.ones((1, 8), jnp.int32))
+    mesh = make_mesh(data=1, model=4, pipe=2)
+    with pytest.raises(ValueError, match='heads'):
+        bert_pipeline_forward(model, variables, jnp.asarray(ids),
+                              jnp.asarray(mask), mesh, 2)
 
 
 def test_bert_trainer_mesh_pipe(tmp_path):
-    """train_text_bert --mesh-pipe end to end on the virtual mesh."""
+    """train_text_bert --mesh-model 2 --mesh-pipe 2 (3D wiring: TP param
+    placement + pipeline steps) end to end on the virtual mesh."""
     import string
 
     from mec_tpu.text.wordpiece import WordPieceTokenizer
@@ -187,7 +226,7 @@ def test_bert_trainer_mesh_pipe(tmp_path):
                           num_layers=4, num_heads=2,
                           intermediate_size=64, max_position=32),
         models_dir=str(tmp_path), verbose=False, seq_bucket=False,
-        mesh_pipe=4, microbatches=2)
+        mesh_model=2, mesh_pipe=2, microbatches=2)
     assert np.isfinite(hist['loss']).all()
     assert hist['val_acc'][-1] >= 0.0 and (tmp_path / 'config.json').exists()
 
