@@ -213,6 +213,15 @@ class Config:
     # always keeps the traced on-device frontend.
     HOST_AUDIO_FEATURES = os.environ.get('MEC_HOST_AUDIO_FEATURES', 'auto')
 
+    # Fusion backend: 'attention' (the reference code's attention network,
+    # default) or 'rf' (the README-advertised random-forest ensemble over
+    # per-modality softmax outputs, served as a vectorized XLA
+    # tree-ensemble — mec_tpu.models.forest). 'rf' requires the
+    # fusion_rf artifact (training.train_fusion_rf).
+    FUSION_MODE = os.environ.get('MEC_FUSION_MODE', 'attention')
+    FUSION_RF_MODEL_PATH = os.environ.get('FUSION_RF_MODEL_PATH',
+                                          'models/fusion_rf.pkl')
+
     # Mesh axis sizes for multi-chip deployment; 'auto' uses all local
     # devices on the data axis. See mec_tpu.parallel.mesh.
     MESH_DATA = os.environ.get('MEC_MESH_DATA', 'auto')

@@ -42,6 +42,7 @@ from mec_tpu.config import Config
 from mec_tpu.convert import store
 from mec_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from mec_tpu.models.bert import BertForSequenceClassification
+from mec_tpu.models import forest as forest_ops
 from mec_tpu.models.bilstm import BiLSTMTextModel
 from mec_tpu.models.fusion import MultiModalFusionModel
 from mec_tpu.models.resnet import ImageEmotionModel
@@ -140,6 +141,7 @@ class EmotionEngine:
         self.lstm: Optional[Dict[str, Any]] = None
         self.image: Optional[Dict[str, Any]] = None
         self.fusion: Optional[Dict[str, Any]] = None
+        self.forest: Optional[Dict[str, Any]] = None
         self.bert_tokenizer: Optional[WordPieceTokenizer] = None
         self.lstm_tokenizer: Optional[KerasTokenizer] = None
         self._decode_pool = None
@@ -305,6 +307,27 @@ class EmotionEngine:
         except Exception as e:
             log.warning('fusion model unavailable: %s', e)
 
+        # random-forest fusion variant (the README-advertised ensemble
+        # over per-modality softmax outputs, reference README.md:14,33;
+        # served when MEC_FUSION_MODE=rf — models/forest.py)
+        try:
+            ref = self._path(Config.FUSION_RF_MODEL_PATH)
+            nat = store.native_path(ref)
+            if os.path.exists(nat):
+                loaded = store.load_params(nat)
+                self.forest = {'arrays': loaded['variables']['forest'],
+                               'meta': loaded['meta']}
+            elif os.path.exists(ref):
+                from mec_tpu.convert.sklearn_rf import convert_fusion_rf
+                variables, meta = convert_fusion_rf(ref)
+                try:
+                    store.save_params(nat, variables, meta=meta)
+                except OSError:
+                    pass
+                self.forest = {'arrays': variables['forest'], 'meta': meta}
+        except Exception as e:
+            log.warning('random-forest fusion unavailable: %s', e)
+
         # Commit every params tree to the device ONCE. Passing host numpy
         # trees into jit re-uploads them on every call (for bert-base that
         # is ~440 MB per request batch — the dominant cost over a remote
@@ -333,6 +356,26 @@ class EmotionEngine:
                     self.fusion):
             if art is not None:
                 art['variables'] = _commit(art['variables'])
+        if self.forest is not None:
+            # int32 topology + fp32 thresholds/probas — never bf16-cast
+            # (threshold comparisons define the tree walk exactly)
+            sharding = replicated(self.mesh) if self.mesh else None
+            self.forest['arrays'] = (
+                jax.device_put(self.forest['arrays'], sharding) if sharding
+                else jax.device_put(self.forest['arrays']))
+
+        # Fusion backend selection (Config.FUSION_MODE): 'rf' serves the
+        # tree ensemble when its artifact is live, else degrades to the
+        # attention network / weighted-average ladder.
+        self._fusion_kind: Optional[str] = None
+        if Config.FUSION_MODE == 'rf' and self.forest is not None:
+            self._fusion_kind = 'rf'
+        elif self.fusion is not None:
+            self._fusion_kind = 'attention'
+            if Config.FUSION_MODE == 'rf':
+                log.warning('MEC_FUSION_MODE=rf but no fusion_rf artifact '
+                            '(%s); serving attention fusion',
+                            Config.FUSION_RF_MODEL_PATH)
 
     def _bucket(self, n: int) -> int:
         """Bucket size for n rows, rounded so it splits over the mesh."""
@@ -487,17 +530,33 @@ class EmotionEngine:
             probs = jax.nn.softmax(logits, axis=-1)
             return jnp.concatenate([probs, aw, dw], axis=-1)  # (B, 7+3+3)
 
+        # README-advertised fusion variant: random forest over the
+        # concatenated per-modality softmax outputs, evaluated as one
+        # level-synchronous jitted walk (models/forest.py). Comparisons
+        # run fp32 — tree thresholds define the walk exactly.
+        forest_depth = (int(self.forest['meta'].get('depth', 1))
+                        if self.forest is not None else 0)
+
+        def forest_fwd(arrays, s_p, t_p, i_p):
+            x = jnp.concatenate([s_p, t_p, i_p],
+                                axis=-1).astype(jnp.float32)
+            return forest_ops.forest_apply(arrays, x, forest_depth)
+
         def trimodal_fwd(sv, scaler, bv, iv, fv, waves, ids, mask, img_wire):
             """One traced graph: 3 encoders (single pass each) + fusion,
-            packed into a single (B, 7+7+7+13) output = one fetch."""
+            packed into a single (B, 7+7+7+13) output = one fetch
+            (tail is 7 wide in rf fusion mode — no attention weights)."""
             s = speech_fwd(sv, scaler, waves)
             s_probs, s_pen = s[:, :7], s[:, 7:]
             t = bert_fwd(bv, ids, mask)
             t_probs, cls = t[:, :7], t[:, 7:]
             im = image_fwd(iv, img_wire)
             i_probs, i_feat = im[:, :7], im[:, 7:]
-            f = fusion_fwd(fv, s_pen, cls, i_feat,
-                           s_probs, t_probs, i_probs)
+            if self._fusion_kind == 'rf':  # static at trace time
+                f = forest_fwd(fv, s_probs, t_probs, i_probs)
+            else:
+                f = fusion_fwd(fv, s_pen, cls, i_feat,
+                               s_probs, t_probs, i_probs)
             return jnp.concatenate([s_probs, t_probs, i_probs, f], axis=-1)
 
         self._speech_jit = jax.jit(speech_fwd)
@@ -505,14 +564,31 @@ class EmotionEngine:
         self._lstm_jit = jax.jit(lstm_fwd)
         self._image_jit = jax.jit(image_fwd)
         self._fusion_jit = jax.jit(fusion_fwd)
+        self._forest_jit = jax.jit(forest_fwd)
         self._trimodal_jit = jax.jit(trimodal_fwd)
         self._spectral_jit = jax.jit(af.spectral_features_4)
+
+    @property
+    def _fusion_dispatch_vars(self):
+        """The fusion-slot argument of the tri-modal graph: forest arrays
+        in rf mode, the attention net's variables otherwise."""
+        if self._fusion_kind == 'rf':
+            return self.forest['arrays']
+        return self.fusion['variables'] if self.fusion else None
+
+    def _fusion_from_packed(self, row: np.ndarray) -> Dict[str, Any]:
+        """Slice the fusion tail of a packed tri-modal output row."""
+        if self._fusion_kind == 'rf':
+            r = result_dict(row[21:28])
+            r['method'] = 'random_forest'
+            return r
+        return self._fusion_result(row[21:28], row[28:31], row[31:34])
 
     def warmup(self, buckets: Sequence[int] = (1,)) -> None:
         """Compile the serving graphs ahead of traffic (exactly the
         padded/placed shapes the predict paths dispatch, including the
         fused tri-modal graph when all models are live)."""
-        all_live = (self.fusion is not None and self.speech is not None
+        all_live = (self._fusion_kind is not None and self.speech is not None
                     and self.bert is not None and self.image is not None)
         # every seq bucket PLUS the full-length fallback _seq_slice can
         # dispatch (texts longer than the largest bucket, or an empty/
@@ -545,7 +621,7 @@ class EmotionEngine:
                         self._trimodal_jit(
                             self.speech['variables'], self.speech['scaler'],
                             self.bert['variables'], self.image['variables'],
-                            self.fusion['variables'],
+                            self._fusion_dispatch_vars,
                             w_wire, ids, ids, i_wire)
             # per-bucket compile cost is visible at startup, not as
             # mystery latency under traffic (compiles through the remote
@@ -803,7 +879,7 @@ class EmotionEngine:
                            text: Optional[str] = None,
                            image_path: Optional[str] = None
                            ) -> Dict[str, Dict]:
-        all_live = (self.fusion is not None and self.speech is not None
+        all_live = (self._fusion_kind is not None and self.speech is not None
                     and self.bert is not None and self.image is not None)
         use_trimodal = all_live and audio_path and text and image_path
 
@@ -852,15 +928,14 @@ class EmotionEngine:
         packed = np.asarray(self._trimodal_jit(
             self.speech['variables'], self.speech['scaler'],
             self.bert['variables'], self.image['variables'],
-            self.fusion['variables'],
+            self._fusion_dispatch_vars,
             self._wire_waves(waves, b), _pad_rows(ids, b),
             _pad_rows(mask, b), self._wire_image(img, b)))[0]
         return {
             'speech': result_dict(packed[:7]),
             'text': result_dict(packed[7:14]),
             'image': result_dict(packed[14:21]),
-            'fusion': self._fusion_result(packed[21:28], packed[28:31],
-                                          packed[31:34]),
+            'fusion': self._fusion_from_packed(packed),
         }
 
     def predict_multimodal_batch(self, requests: Sequence[Dict]
@@ -871,7 +946,7 @@ class EmotionEngine:
         full_idx = [i for i, r in enumerate(requests)
                     if r.get('audio_path') and r.get('text')
                     and r.get('image_path')]
-        all_live = (self.fusion is not None and self.speech is not None
+        all_live = (self._fusion_kind is not None and self.speech is not None
                     and self.bert is not None and self.image is not None)
         if all_live and full_idx:
             # Per-request decode with isolation: one undecodable upload
@@ -934,7 +1009,7 @@ class EmotionEngine:
             packed = np.asarray(self._trimodal_jit(
                 self.speech['variables'], self.speech['scaler'],
                 self.bert['variables'], self.image['variables'],
-                self.fusion['variables'],
+                self._fusion_dispatch_vars,
                 w_dev, ids_dev, mask_dev,
                 self._put(self._wire_image(imgs, b))))
             for j, i in enumerate(full_idx):
@@ -943,8 +1018,7 @@ class EmotionEngine:
                     'speech': result_dict(row[:7]),
                     'text': result_dict(row[7:14]),
                     'image': result_dict(row[14:21]),
-                    'fusion': self._fusion_result(row[21:28], row[28:31],
-                                                  row[31:34]),
+                    'fusion': self._fusion_from_packed(row),
                 }
         for i, r in enumerate(requests):
             if out[i] is None:

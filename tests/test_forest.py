@@ -1,0 +1,196 @@
+"""Random-forest fusion: XLA tree-ensemble parity vs REAL sklearn.
+
+Unlike the librosa/torchvision oracles (reimplementations — see
+BASELINE.md), sklearn ships in this image, so these tests pin the
+vectorized forest walk against the upstream library itself.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from mec_tpu.models import forest
+
+
+def _fit_rf(n_estimators=25, n_features=21, n_classes=7, n_samples=500,
+            seed=0, **kw):
+    from sklearn.ensemble import RandomForestClassifier
+    rng = np.random.RandomState(seed)
+    x = rng.rand(n_samples, n_features).astype(np.float32)
+    # class-correlated so trees actually split
+    y = (x[:, :n_classes].argmax(axis=1) + rng.randint(0, 2, n_samples)
+         ) % n_classes
+    rf = RandomForestClassifier(n_estimators=n_estimators, random_state=seed,
+                                **kw).fit(x, y)
+    assert rf.n_classes_ == n_classes
+    return rf, rng.rand(64, n_features).astype(np.float32)
+
+
+def _apply(rf, x):
+    arrays, meta = forest.from_sklearn(rf)
+    return np.asarray(forest.forest_apply(arrays, x, meta['depth']))
+
+
+class TestForestParity:
+    def test_matches_sklearn_proba(self):
+        rf, x = _fit_rf()  # unbounded depth, 25 trees
+        ours = _apply(rf, x)
+        ref = rf.predict_proba(x)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+        assert (ours.argmax(axis=1) == rf.predict(x)).all()
+
+    def test_depth_one_stumps(self):
+        rf, x = _fit_rf(n_estimators=8, max_depth=1)
+        np.testing.assert_allclose(_apply(rf, x), rf.predict_proba(x),
+                                   atol=1e-6)
+
+    def test_single_leaf_tree(self):
+        # one training class -> every tree is a root leaf (max_depth 0)
+        from sklearn.ensemble import RandomForestClassifier
+        x = np.random.RandomState(0).rand(20, 5).astype(np.float32)
+        rf = RandomForestClassifier(n_estimators=3, random_state=0
+                                    ).fit(x, np.zeros(20, np.int64))
+        ours = _apply(rf, x[:7])
+        np.testing.assert_allclose(ours, rf.predict_proba(x[:7]), atol=1e-6)
+
+    def test_ragged_tree_sizes_padded(self):
+        # mixed depths force node-count padding across trees
+        rf, x = _fit_rf(n_estimators=12, max_depth=None, n_samples=900,
+                        min_samples_leaf=1)
+        sizes = {est.tree_.node_count for est in rf.estimators_}
+        assert len(sizes) > 1, 'fixture should produce ragged trees'
+        np.testing.assert_allclose(_apply(rf, x), rf.predict_proba(x),
+                                   atol=1e-6)
+
+
+class TestForestConvertStore:
+    def test_mecp_roundtrip(self, tmp_path):
+        from mec_tpu.convert import store
+        rf, x = _fit_rf(n_estimators=6, max_depth=4)
+        arrays, meta = forest.from_sklearn(rf)
+        path = str(tmp_path / 'fusion_rf.mecp')
+        store.save_params(path, {'forest': arrays}, meta=meta)
+        loaded = store.load_params(path)
+        out = np.asarray(forest.forest_apply(
+            loaded['variables']['forest'], x,
+            int(loaded['meta']['depth'])))
+        np.testing.assert_allclose(out, rf.predict_proba(x), atol=1e-6)
+
+    def test_convert_fusion_rf_pkl(self, tmp_path):
+        import joblib
+        from mec_tpu.convert.sklearn_rf import convert_fusion_rf
+        rf, x = _fit_rf(n_estimators=5, max_depth=3)
+        pkl = str(tmp_path / 'fusion_rf.pkl')
+        joblib.dump(rf, pkl)
+        variables, meta = convert_fusion_rf(pkl)
+        out = np.asarray(forest.forest_apply(variables['forest'], x,
+                                             meta['depth']))
+        np.testing.assert_allclose(out, rf.predict_proba(x), atol=1e-6)
+
+    def test_convert_rejects_non_forest(self, tmp_path):
+        import joblib
+        from mec_tpu.convert.sklearn_rf import convert_fusion_rf
+        pkl = str(tmp_path / 'not_a_forest.pkl')
+        joblib.dump({'weights': [1, 2, 3]}, pkl)
+        with pytest.raises((ValueError, AttributeError)):
+            convert_fusion_rf(pkl)
+
+
+def test_trainer_fits_and_saves(tmp_path):
+    from mec_tpu.training import train_fusion_rf
+    rf, arrays, meta = train_fusion_rf.train(
+        num_samples=700, n_estimators=12, max_depth=8,
+        models_dir=str(tmp_path), verbose=False)
+    # the synthetic distribution peaks each modality's softmax at the true
+    # label (reference train_fusion_model.py:457-519) — trivially learnable
+    assert meta['val_acc'] > 0.8
+    assert os.path.exists(tmp_path / 'fusion_rf.pkl')
+    assert os.path.exists(tmp_path / 'fusion_rf.mecp')
+
+
+@pytest.fixture(scope='module')
+def rf_engine(tmp_path_factory):
+    """Engine in MEC_FUSION_MODE=rf over synthetic encoder artifacts."""
+    from mec_tpu.config import Config
+    from mec_tpu.serving import engine as eng
+    from mec_tpu.serving.synthetic_artifacts import write_synthetic_artifacts
+    from mec_tpu.training import train_fusion_rf
+    d = str(tmp_path_factory.mktemp('rf_models'))
+    write_synthetic_artifacts(d, tiny=True)
+    rf, _arrays, _meta = train_fusion_rf.train(
+        num_samples=400, n_estimators=8, max_depth=6, models_dir=d,
+        verbose=False)
+    old = Config.FUSION_MODE
+    Config.FUSION_MODE = 'rf'
+    try:
+        yield eng.EmotionEngine(models_dir=d), rf
+    finally:
+        Config.FUSION_MODE = old
+
+
+@pytest.fixture(scope='module')
+def rf_assets(tmp_path_factory):
+    from mec_tpu.ops import wav as wav_ops
+    from PIL import Image
+    d = tmp_path_factory.mktemp('rf_assets')
+    t = np.arange(22050 * 3) / 22050.0
+    y = (0.25 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    wav_path = str(d / 'a.wav')
+    wav_ops.write_wav(wav_path, y, 22050)
+    img_path = str(d / 'i.png')
+    Image.fromarray(np.random.RandomState(1).randint(
+        0, 255, (224, 224, 3), np.uint8)).save(img_path)
+    return wav_path, img_path, 'what a wonderful surprise'
+
+
+class TestEngineRFMode:
+    def test_trimodal_rf_fusion(self, rf_engine, rf_assets):
+        engine, rf = rf_engine
+        wav_path, img_path, text = rf_assets
+        out = engine.predict_multimodal(wav_path, text, img_path)
+        assert engine._fusion_kind == 'rf'
+        f = out['fusion']
+        assert f.get('method') == 'random_forest'
+        assert 'attention_weights' not in f
+        probs = np.asarray(f['all_probabilities'])
+        assert probs.shape == (7,) and abs(probs.sum() - 1) < 1e-5
+        # end-to-end parity: the served fusion tail equals real sklearn
+        # applied to the served per-modality softmax outputs (fp32 mode)
+        x = np.concatenate([out['speech']['all_probabilities'],
+                            out['text']['all_probabilities'],
+                            out['image']['all_probabilities']]
+                           ).astype(np.float32)[None]
+        np.testing.assert_allclose(probs, rf.predict_proba(x)[0], atol=1e-5)
+
+    def test_batch_matches_single(self, rf_engine, rf_assets):
+        engine, _rf = rf_engine
+        wav_path, img_path, text = rf_assets
+        req = {'audio_path': wav_path, 'text': text, 'image_path': img_path}
+        single = engine.predict_multimodal(**{
+            'audio_path': wav_path, 'text': text, 'image_path': img_path})
+        batch = engine.predict_multimodal_batch([req] * 3)
+        for r in batch:
+            np.testing.assert_allclose(
+                r['fusion']['all_probabilities'],
+                single['fusion']['all_probabilities'], atol=1e-5)
+
+    def test_rf_mode_without_artifact_degrades(self, tmp_path, rf_assets):
+        """MEC_FUSION_MODE=rf with no forest artifact serves the
+        attention/weighted ladder instead of failing."""
+        from mec_tpu.config import Config
+        from mec_tpu.serving import engine as eng
+        from mec_tpu.serving.synthetic_artifacts import (
+            write_synthetic_artifacts)
+        d = str(tmp_path / 'models')
+        write_synthetic_artifacts(d, tiny=True)
+        old = Config.FUSION_MODE
+        Config.FUSION_MODE = 'rf'
+        try:
+            engine = eng.EmotionEngine(models_dir=d)
+            assert engine._fusion_kind == 'attention'
+            wav_path, img_path, text = rf_assets
+            out = engine.predict_multimodal(wav_path, text, img_path)
+            assert 'attention_weights' in out['fusion']
+        finally:
+            Config.FUSION_MODE = old
