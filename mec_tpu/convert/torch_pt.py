@@ -53,9 +53,17 @@ def _bn(sd, prefix):
 
 
 def convert_image_pt(path_or_sd) -> Dict[str, Any]:
-    """image_model.pt -> {'params', 'batch_stats'} for ImageEmotionModel."""
+    """image_model.pt -> {'params', 'batch_stats'}.
+
+    Auto-detects the architecture from the state-dict layout: torchvision
+    MobileNetV2 keys (base.features.N...) route to the MobileNetV2
+    converter (the README-advertised image variant), anything else is the
+    reference code's ResNet50 (reference inference/image_inference.py:48-92).
+    """
     sd = (_load_state_dict(path_or_sd) if isinstance(path_or_sd, str)
           else path_or_sd)
+    if 'base.features.0.0.weight' in sd:
+        return convert_image_mobilenet_pt(sd)
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
@@ -82,6 +90,46 @@ def convert_image_pt(path_or_sd) -> Dict[str, Any]:
     # custom head: base.fc = Sequential(Dropout, Linear, ReLU, Dropout, Linear)
     params['fc1'] = _linear(sd, 'base.fc.1')
     params['fc2'] = _linear(sd, 'base.fc.4')
+    return {'params': params, 'batch_stats': stats}
+
+
+def convert_image_mobilenet_pt(path_or_sd) -> Dict[str, Any]:
+    """MobileNetV2 image_model.pt -> {'params', 'batch_stats'} for
+    MobileNetV2EmotionModel (torchvision key layout: features.0 stem CNA,
+    features.1-17 InvertedResidual conv.N, features.18 head CNA; custom
+    emotion head at classifier.{1,4})."""
+    from mec_tpu.models.mobilenet import INVERTED_RESIDUAL_CFG
+    sd = (_load_state_dict(path_or_sd) if isinstance(path_or_sd, str)
+          else path_or_sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params['conv_stem'] = _conv(sd, 'base.features.0.0')
+    params['bn_stem'], stats['bn_stem'] = _bn(sd, 'base.features.0.1')
+
+    idx = 1
+    for t, _c, n, _s in INVERTED_RESIDUAL_CFG:
+        for _ in range(n):
+            pre = f'base.features.{idx}.conv'
+            p: Dict[str, Any] = {}
+            s: Dict[str, Any] = {}
+            j = 0
+            if t != 1:
+                p['expand_conv'] = _conv(sd, f'{pre}.0.0')
+                p['expand_bn'], s['expand_bn'] = _bn(sd, f'{pre}.0.1')
+                j = 1
+            p['dw_conv'] = _conv(sd, f'{pre}.{j}.0')
+            p['dw_bn'], s['dw_bn'] = _bn(sd, f'{pre}.{j}.1')
+            p['project_conv'] = _conv(sd, f'{pre}.{j + 1}')
+            p['project_bn'], s['project_bn'] = _bn(sd, f'{pre}.{j + 2}')
+            params[f'block_{idx}'] = p
+            stats[f'block_{idx}'] = s
+            idx += 1
+
+    params['conv_head'] = _conv(sd, f'base.features.{idx}.0')
+    params['bn_head'], stats['bn_head'] = _bn(sd, f'base.features.{idx}.1')
+    params['fc1'] = _linear(sd, 'base.classifier.1')
+    params['fc2'] = _linear(sd, 'base.classifier.4')
     return {'params': params, 'batch_stats': stats}
 
 

@@ -1,0 +1,101 @@
+"""MobileNetV2 image emotion model (the README-advertised image variant).
+
+The reference README describes its image stage as "CNN with MobileNetV2
+transfer learning trained on FER2013" (reference README.md:13,299,
+README mermaid graph: "Image Model .pt — MobileNetV2") although the
+shipped code builds a ResNet50 (reference inference/image_inference.py:48-92).
+Both variants exist here: this is a Flax build of the torchvision
+MobileNetV2 graph (width 1.0) with the same custom-head pattern the
+reference wraps around its ResNet50 — Dropout(.5) -> Linear(1280,512)
+-> ReLU -> Dropout(.3) -> Linear(512,7) — so the 512-dim head feature
+plugs into the fusion model unchanged (fusion image_dim=512).
+
+TPU-first notes: NHWC layout; depthwise convolutions lower to VPU
+elementwise lanes (feature_group_count=C), the 1x1 expand/project convs
+are plain MXU matmuls; at ~0.6 GFLOP/image (vs ResNet50's ~8.2) this is
+the fast image path, the image-side analogue of the Bi-LSTM text
+variant. Converter: mec_tpu.convert.torch_pt (auto-detected from the
+state-dict layout); oracle: tests/torch_oracles.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# torchvision mobilenet_v2 inverted-residual settings (t, c, n, s)
+INVERTED_RESIDUAL_CFG: Sequence[Tuple[int, int, int, int]] = (
+    (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+    (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+
+
+class InvertedResidual(nn.Module):
+    """expand(1x1) -> depthwise(3x3, stride) -> project(1x1, linear)."""
+    in_ch: int
+    out_ch: int
+    stride: int
+    expand: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        bn = partial(nn.BatchNorm, use_running_average=not train,
+                     momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        hidden = self.in_ch * self.expand
+        out = x
+        if self.expand != 1:
+            out = conv(hidden, (1, 1), name='expand_conv')(out)
+            out = jax.nn.relu6(bn(name='expand_bn')(out))
+        out = conv(hidden, (3, 3), strides=(self.stride, self.stride),
+                   padding=((1, 1), (1, 1)), feature_group_count=hidden,
+                   name='dw_conv')(out)
+        out = jax.nn.relu6(bn(name='dw_bn')(out))
+        out = conv(self.out_ch, (1, 1), name='project_conv')(out)
+        out = bn(name='project_bn')(out)
+        if self.stride == 1 and self.in_ch == self.out_ch:
+            out = out + x
+        return out
+
+
+class MobileNetV2EmotionModel(nn.Module):
+    num_classes: int = 7
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: (B, H, W, 3) ImageNet-normalized NHWC (any H, W >= 32).
+
+        Returns (logits (B, 7), head_features (B, 512)).
+        """
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        bn = partial(nn.BatchNorm, use_running_average=not train,
+                     momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        x = x.astype(self.dtype)
+        x = conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                 name='conv_stem')(x)
+        x = jax.nn.relu6(bn(name='bn_stem')(x))
+        idx, in_ch = 1, 32
+        for t, c, n, s in INVERTED_RESIDUAL_CFG:
+            for i in range(n):
+                x = InvertedResidual(in_ch, c, s if i == 0 else 1, t,
+                                     dtype=self.dtype,
+                                     name=f'block_{idx}')(x, train=train)
+                in_ch = c
+                idx += 1
+        x = conv(1280, (1, 1), name='conv_head')(x)
+        x = jax.nn.relu6(bn(name='bn_head')(x))
+        x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 1280)
+        # custom head, same pattern as the reference's ResNet wrapper
+        # (reference image_inference.py:59-65); identity at inference
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dense(512, dtype=self.dtype, name='fc1')(x)
+        feat = nn.relu(x)
+        x = nn.Dropout(0.3, deterministic=not train)(feat)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name='fc2')(x)
+        return logits.astype(jnp.float32), feat.astype(jnp.float32)

@@ -422,7 +422,14 @@ class EmotionEngine:
                                      dtype=self.compute_dtype)
         else:
             speech_model = SpeechDNN(dtype=self.compute_dtype)
-        image_model = ImageEmotionModel(dtype=self.compute_dtype)
+        if (self.image is not None
+                and 'conv_stem' in self.image['variables']['params']):
+            # README-advertised MobileNetV2 variant (models/mobilenet.py);
+            # same 512-dim head feature, so fusion is unchanged
+            from mec_tpu.models.mobilenet import MobileNetV2EmotionModel
+            image_model = MobileNetV2EmotionModel(dtype=self.compute_dtype)
+        else:
+            image_model = ImageEmotionModel(dtype=self.compute_dtype)
         fusion_kwargs = (self.fusion or {}).get('config') or {}
         fusion_model = MultiModalFusionModel(**{
             k: v for k, v in fusion_kwargs.items()

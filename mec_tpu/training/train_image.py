@@ -1,4 +1,8 @@
-"""Facial-emotion ResNet50 trainer (2-phase fine-tune).
+"""Facial-emotion image trainer (2-phase fine-tune).
+
+Default architecture is the reference code's ResNet50; --arch mobilenet_v2
+trains the README-advertised MobileNetV2 variant (models/mobilenet.py)
+with the same schedule and head.
 
 Parity with reference model_training/train_image_model.py: ImageFolder
 layout + flip/rotate/color-jitter augmentation (:135-148), 85/15 split
@@ -87,7 +91,7 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
           mesh_data: int = 0, seed: int = 42, augment: bool = True,
           imgs: Optional[np.ndarray] = None,
           labels: Optional[np.ndarray] = None, verbose: bool = True,
-          bf16: bool = False):
+          bf16: bool = False, arch: str = 'resnet50'):
     log = print if verbose else (lambda *_a, **_k: None)
     if imgs is None:
         paths, labels = data.list_image_dataset(data_root, verbose=verbose)
@@ -112,7 +116,16 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
                     'label': d['label']}
     log(f'Training set: {len(tr)}  validation set: {len(va)}')
 
-    model = ImageEmotionModel(dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    if arch == 'mobilenet_v2':
+        # the README-advertised variant (reference README.md:13); ~13x
+        # fewer FLOPs/image than ResNet50 — the fast image path
+        from mec_tpu.models.mobilenet import MobileNetV2EmotionModel
+        model = MobileNetV2EmotionModel(
+            dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    elif arch == 'resnet50':
+        model = ImageEmotionModel(dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    else:
+        raise SystemExit(f'unknown --arch {arch}')
     variables = model.init(jax.random.PRNGKey(seed),
                            jnp.zeros((1, img_size, img_size, 3),
                                      jnp.float32))
@@ -157,12 +170,13 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
     log('\n' + metrics.classification_report(labels[va], preds,
                                              Config.EMOTIONS))
     best_acc = max(max(hist1['val_acc']), max(hist2['val_acc']))
-    common.record_metrics('image_resnet50', best_acc, labels[va], preds)
+    common.record_metrics(f'image_{arch}', best_acc, labels[va], preds)
 
     models_dir = models_dir or os.path.dirname(Config.IMAGE_MODEL_PATH)
     os.makedirs(models_dir, exist_ok=True)
     out = os.path.join(models_dir, 'image_model.mecp')
-    store.save_params(out, best_vars, meta={'val_acc': float(best_acc)})
+    store.save_params(out, best_vars,
+                      meta={'val_acc': float(best_acc), 'arch': arch})
     log(f'Saved {out}')
     return best_vars, {'phase1': hist1, 'phase2': hist2}
 
@@ -180,10 +194,14 @@ def main(argv=None):
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 compute (params stay float32): 3.7x '
                         'step rate on the v5e (13.9 vs 51 ms at batch 32)')
+    p.add_argument('--arch', default='resnet50',
+                   choices=('resnet50', 'mobilenet_v2'),
+                   help='resnet50 = the reference code; mobilenet_v2 = '
+                        'the README-advertised fast variant')
     args = p.parse_args(argv)
     train(args.data_root, args.img_size, args.batch_size, args.epochs,
           args.learning_rate, args.phase1_epochs, args.models_dir,
-          args.mesh_data, bf16=args.bf16)
+          args.mesh_data, bf16=args.bf16, arch=args.arch)
 
 
 if __name__ == '__main__':

@@ -154,3 +154,74 @@ class OracleImageEmotionModel(nn.Module):
 
     def forward(self, x):
         return self.base(x)
+
+
+def _cna(inp, oup, k=3, stride=1, groups=1):
+    """torchvision Conv2dNormActivation (an nn.Sequential subclass):
+    Conv2d -> BatchNorm2d -> ReLU6, key layout {i}.0 / {i}.1."""
+    return nn.Sequential(
+        nn.Conv2d(inp, oup, k, stride=stride, padding=(k - 1) // 2,
+                  groups=groups, bias=False),
+        nn.BatchNorm2d(oup), nn.ReLU6(inplace=True))
+
+
+class OracleInvertedResidual(nn.Module):
+    """torchvision mobilenetv2.InvertedResidual key layout (conv.N.M)."""
+
+    def __init__(self, inp, oup, stride, expand_ratio):
+        super().__init__()
+        hidden = inp * expand_ratio
+        self.use_res_connect = stride == 1 and inp == oup
+        layers = []
+        if expand_ratio != 1:
+            layers.append(_cna(inp, hidden, k=1))
+        layers += [_cna(hidden, hidden, stride=stride, groups=hidden),
+                   nn.Conv2d(hidden, oup, 1, bias=False),
+                   nn.BatchNorm2d(oup)]
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        out = self.conv(x)
+        return x + out if self.use_res_connect else out
+
+
+class OracleMobileNetV2(nn.Module):
+    """torchvision-compatible mobilenet_v2 (state_dict key layout)."""
+
+    CFG = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+           (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        features = [_cna(3, 32, stride=2)]
+        in_ch = 32
+        for t, c, n, s in self.CFG:
+            for i in range(n):
+                features.append(OracleInvertedResidual(
+                    in_ch, c, s if i == 0 else 1, t))
+                in_ch = c
+        features.append(_cna(in_ch, 1280, k=1))
+        self.features = nn.Sequential(*features)
+        self.classifier = nn.Sequential(nn.Dropout(0.2),
+                                        nn.Linear(1280, num_classes))
+
+    def forward(self, x):
+        x = self.features(x)
+        x = x.mean([2, 3])
+        return self.classifier(x)
+
+
+class OracleMobileNetEmotionModel(nn.Module):
+    """MobileNetV2 + the reference's custom-head pattern
+    (reference README.md:13 advertises this variant; head pattern from
+    reference inference/image_inference.py:54-92)."""
+
+    def __init__(self, num_classes=7):
+        super().__init__()
+        self.base = OracleMobileNetV2()
+        self.base.classifier = nn.Sequential(
+            nn.Dropout(0.5), nn.Linear(1280, 512), nn.ReLU(),
+            nn.Dropout(0.3), nn.Linear(512, num_classes))
+
+    def forward(self, x):
+        return self.base(x)
