@@ -148,6 +148,19 @@ class EmotionEngine:
         self._decode_pool_lock = threading.Lock()
 
         self._load_all()
+        # Serving image resolution: the reference always serves 224x224
+        # (reference inference/image_inference.py:28-32); an artifact
+        # trained at another size (e.g. MobileNetV2 at FER2013's native
+        # 48x48, --img-size 48) declares it in its .mecp meta and the
+        # whole image path — decode, wire, graphs — follows. At 48 px
+        # the YUV wire is ~22x smaller, which matters on an
+        # upload-bound link.
+        self._image_size = tuple(Config.IMAGE_SIZE)
+        meta_size = (self.image or {}).get('meta', {}).get('img_size')
+        if meta_size:
+            self._image_size = ((int(meta_size), int(meta_size))
+                                if np.isscalar(meta_size)
+                                else tuple(int(v) for v in meta_size))
         self._build_jits()
 
     def _ensure_decode_pool(self):
@@ -165,10 +178,12 @@ class EmotionEngine:
         costs ~220 ms per 32-batch of distinct PNGs on the request
         thread, ~100 ms pooled). Raises on the first bad image."""
         from mec_tpu.image.preprocess import load_image_uint8
+        size = self._image_size
         if len(paths) <= 1:
-            return np.stack([load_image_uint8(p) for p in paths])
+            return np.stack([load_image_uint8(p, size) for p in paths])
         pool = self._ensure_decode_pool()
-        return np.stack(list(pool.map(load_image_uint8, paths)))
+        return np.stack(list(pool.map(
+            lambda p: load_image_uint8(p, size), paths)))
 
     # ------------------------------------------------------------------
     # artifact loading
@@ -282,7 +297,8 @@ class EmotionEngine:
             ref = Config.IMAGE_MODEL_PATH.replace('.h5', '.pt')
             loaded = self._load_native_or(ref, convert_image_pt)
             if loaded is not None:
-                self.image = {'variables': loaded['variables']}
+                self.image = {'variables': loaded['variables'],
+                              'meta': loaded.get('meta') or {}}
         except Exception as e:
             log.warning('image model unavailable: %s', e)
 
@@ -609,7 +625,7 @@ class EmotionEngine:
             b = self._bucket(b)
             waves = np.zeros((b, af.N_SAMPLES), np.float32)
             full_ids = np.zeros((b, Config.MAX_TEXT_LENGTH), np.int32)
-            imgs = np.zeros((b, 224, 224, 3), np.uint8)
+            imgs = np.zeros((b,) + self._image_size + (3,), np.uint8)
             if self.speech:
                 self._run_speech(waves)
             if self.lstm:
@@ -807,7 +823,8 @@ class EmotionEngine:
 
     def predict_images(self, imgs_u8: np.ndarray,
                        want_features: bool = False) -> List[Dict]:
-        """(B, 224, 224, 3) uint8 -> result dicts."""
+        """(B, H, W, 3) uint8 -> result dicts (H, W = self._image_size,
+        224x224 unless the artifact declares another size)."""
         if self.image is None:
             return [self.image_fallback() for _ in range(imgs_u8.shape[0])]
         b = self._bucket(imgs_u8.shape[0])
@@ -931,7 +948,7 @@ class EmotionEngine:
         waves = wav.load_and_fix_length(audio_path)[0][None, :]
         ids, mask = self._seq_slice(*self.bert_tokenizer.encode_batch(
             [text], Config.MAX_TEXT_LENGTH))
-        img = load_image_uint8(image_path)[None]
+        img = load_image_uint8(image_path, self._image_size)[None]
         packed = np.asarray(self._trimodal_jit(
             self.speech['variables'], self.speech['scaler'],
             self.bert['variables'], self.image['variables'],
@@ -968,7 +985,8 @@ class EmotionEngine:
                      pool.submit(lambda p: wav.load_and_fix_length(p)[0],
                                  requests[i]['audio_path']),
                      pool.submit(load_image_uint8,
-                                 requests[i]['image_path']))
+                                 requests[i]['image_path'],
+                                 self._image_size))
                     for i in full_idx]
             # Audio results land first (wav parse is ~10x cheaper than
             # image decode); encode + device_put the audio wire NOW so

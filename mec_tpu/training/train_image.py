@@ -175,8 +175,11 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
     models_dir = models_dir or os.path.dirname(Config.IMAGE_MODEL_PATH)
     os.makedirs(models_dir, exist_ok=True)
     out = os.path.join(models_dir, 'image_model.mecp')
+    # img_size in the meta routes the SERVING image path (decode, wire,
+    # graphs) to the trained resolution — e.g. FER2013-native 48 px
     store.save_params(out, best_vars,
-                      meta={'val_acc': float(best_acc), 'arch': arch})
+                      meta={'val_acc': float(best_acc), 'arch': arch,
+                            'img_size': int(img_size)})
     log(f'Saved {out}')
     return best_vars, {'phase1': hist1, 'phase2': hist2}
 

@@ -116,3 +116,42 @@ def test_engine_serves_mobilenet(tmp_path, oracle_and_flax):
             x.transpose(0, 3, 1, 2))), dim=-1).numpy()
     np.testing.assert_allclose(
         np.asarray([r['all_probabilities'] for r in out]), ref, atol=1e-4)
+
+
+def test_engine_serves_artifact_declared_48px(tmp_path):
+    """A MobileNetV2 trained at FER2013's native 48x48 declares img_size
+    in its .mecp meta; the engine's whole image path (decode, wire,
+    warmup shapes, fused graph) follows the artifact's resolution."""
+    import numpy as np
+    from PIL import Image
+    from mec_tpu.serving import engine as eng
+    from mec_tpu.serving.synthetic_artifacts import write_synthetic_artifacts
+    from mec_tpu.training import train_image
+
+    d = str(tmp_path / 'models')
+    write_synthetic_artifacts(d, tiny=True)
+    rng = np.random.RandomState(0)
+    train_image.train(
+        data_root='', img_size=48, batch_size=8, epochs=1, phase1_epochs=1,
+        models_dir=d, imgs=rng.randint(0, 255, (16, 48, 48, 3), np.uint8),
+        labels=(np.arange(16) % 7).astype(np.int32), augment=False,
+        verbose=False, arch='mobilenet_v2')
+
+    engine = eng.EmotionEngine(models_dir=d)
+    assert engine._image_size == (48, 48)
+    img_path = str(tmp_path / 'face.png')
+    Image.fromarray(rng.randint(0, 255, (224, 224, 3), np.uint8)
+                    ).save(img_path)  # arbitrary input size, resized to 48
+    out = engine.predict_image_paths([img_path, img_path])
+    assert len(out) == 2
+    probs = np.asarray(out[0]['all_probabilities'])
+    assert probs.shape == (7,) and abs(probs.sum() - 1) < 1e-4
+
+    # tri-modal fused graph compiles and serves at the 48-px shape
+    from mec_tpu.ops import wav as wav_ops
+    wav_path = str(tmp_path / 'a.wav')
+    t = np.arange(22050 * 3) / 22050.0
+    wav_ops.write_wav(wav_path, (0.2 * np.sin(2 * np.pi * 440 * t)
+                                 ).astype(np.float32), 22050)
+    res = engine.predict_multimodal(wav_path, 'feeling great', img_path)
+    assert 'fusion' in res and 'image' in res
