@@ -78,7 +78,7 @@ def from_sklearn(rf) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
     T = len(trees)
     C = int(rf.n_classes_)
     feature = np.zeros((T, N), np.int32)
-    threshold = np.zeros((T, N), np.float32)
+    threshold = np.zeros((T, N), np.float64)
     left = np.zeros((T, N), np.int32)
     right = np.zeros((T, N), np.int32)
     proba = np.zeros((T, N, C), np.float32)
@@ -100,7 +100,16 @@ def from_sklearn(rf) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
         proba[i, :n] = np.divide(counts, np.where(sums == 0, 1.0, sums)
                                  ).astype(np.float32)
         depth = max(depth, int(t.max_depth))
-    arrays = {'feature': feature, 'threshold': threshold,
+    # sklearn compares float32 inputs against float64 thresholds
+    # (midpoints of adjacent float32 feature values). For float32 x,
+    # `x <= t64` is equivalent to `x <= floor32(t64)` where floor32
+    # rounds t64 DOWN to the nearest float32 — round-to-nearest could
+    # land above t64 and flip a boundary decision the other way.
+    t32 = threshold.astype(np.float32)
+    above = t32.astype(np.float64) > threshold
+    t32[above] = np.nextafter(t32[above], np.float32(-np.inf),
+                              dtype=np.float32)
+    arrays = {'feature': feature, 'threshold': t32,
               'left': left, 'right': right, 'proba': proba}
     meta = {'kind': 'random_forest', 'depth': int(depth),
             'n_features': int(rf.n_features_in_), 'n_classes': C,

@@ -194,20 +194,54 @@ class EmotionEngine:
         return p
 
     def _load_native_or(self, ref_path: str, convert_fn):
-        """Try .mecp, else convert the reference artifact and cache."""
+        """Try .mecp, else convert the reference artifact and cache.
+
+        convert_fn may return either a variables tree or a
+        (variables, meta) pair; meta is persisted into the cached .mecp
+        and always present in the returned dict."""
         ref_path = self._path(ref_path)
         nat = store.native_path(ref_path)
         if os.path.exists(nat):
-            return store.load_params(nat)
+            loaded = store.load_params(nat)
+            loaded.setdefault('meta', {})
+            return loaded
         if os.path.exists(ref_path):
             converted = convert_fn(ref_path)
-            out = {'variables': converted, 'meta': {}}
+            meta = {}
+            if isinstance(converted, tuple):
+                converted, meta = converted
             try:
-                store.save_params(nat, converted)
+                store.save_params(nat, converted, meta=meta)
             except OSError:
                 pass
-            return out
+            return {'variables': converted, 'meta': meta}
         return None
+
+    @staticmethod
+    def _validate_forest(arrays, meta) -> Dict[str, Any]:
+        """Reject unserveable forest artifacts at load (fallback ladder
+        takes over), rather than serving silently-wrong fusions."""
+        if 'depth' not in meta:
+            raise ValueError('forest artifact missing the depth meta '
+                             '(static trace constant) — re-convert it')
+        n_feat = int(meta.get('n_features',
+                              3 * Config.NUM_EMOTIONS))
+        if n_feat != 3 * Config.NUM_EMOTIONS:
+            raise ValueError(
+                f'forest expects {n_feat} features; the fusion input is '
+                f'{3 * Config.NUM_EMOTIONS} concatenated softmax outputs')
+        classes = tuple(int(c) for c in
+                        meta.get('classes', range(Config.NUM_EMOTIONS)))
+        if not set(classes) <= set(range(Config.NUM_EMOTIONS)):
+            raise ValueError(f'forest classes {classes} are not emotion '
+                             f'ids 0..{Config.NUM_EMOTIONS - 1}')
+        if len(classes) < Config.NUM_EMOTIONS:
+            # trained on data missing some emotions (e.g. a small
+            # --manifest): legal — outputs scatter into the full vector
+            log.warning('forest fusion trained on %d/%d classes; missing '
+                        'emotions get probability 0', len(classes),
+                        Config.NUM_EMOTIONS)
+        return {'arrays': arrays, 'meta': meta, 'classes': classes}
 
     def _load_all(self) -> None:
         # speech: .h5 + scaler .pkl
@@ -325,24 +359,19 @@ class EmotionEngine:
 
         # random-forest fusion variant (the README-advertised ensemble
         # over per-modality softmax outputs, reference README.md:14,33;
-        # served when MEC_FUSION_MODE=rf — models/forest.py)
-        try:
-            ref = self._path(Config.FUSION_RF_MODEL_PATH)
-            nat = store.native_path(ref)
-            if os.path.exists(nat):
-                loaded = store.load_params(nat)
-                self.forest = {'arrays': loaded['variables']['forest'],
-                               'meta': loaded['meta']}
-            elif os.path.exists(ref):
+        # models/forest.py). Only loaded when MEC_FUSION_MODE=rf — the
+        # (T, N[, C]) arrays would otherwise occupy device memory that
+        # the attention graph never reads.
+        if Config.FUSION_MODE == 'rf':
+            try:
                 from mec_tpu.convert.sklearn_rf import convert_fusion_rf
-                variables, meta = convert_fusion_rf(ref)
-                try:
-                    store.save_params(nat, variables, meta=meta)
-                except OSError:
-                    pass
-                self.forest = {'arrays': variables['forest'], 'meta': meta}
-        except Exception as e:
-            log.warning('random-forest fusion unavailable: %s', e)
+                loaded = self._load_native_or(Config.FUSION_RF_MODEL_PATH,
+                                              convert_fusion_rf)
+                if loaded is not None:
+                    self.forest = self._validate_forest(
+                        loaded['variables']['forest'], loaded['meta'])
+            except Exception as e:
+                log.warning('random-forest fusion unavailable: %s', e)
 
         # Commit every params tree to the device ONCE. Passing host numpy
         # trees into jit re-uploads them on every call (for bert-base that
@@ -556,14 +585,23 @@ class EmotionEngine:
         # README-advertised fusion variant: random forest over the
         # concatenated per-modality softmax outputs, evaluated as one
         # level-synchronous jitted walk (models/forest.py). Comparisons
-        # run fp32 — tree thresholds define the walk exactly.
-        forest_depth = (int(self.forest['meta'].get('depth', 1))
+        # run fp32 — tree thresholds define the walk exactly. A forest
+        # fitted on fewer classes scatters into the full 7-wide vector
+        # (static index set, validated at load).
+        forest_depth = (int(self.forest['meta']['depth'])
                         if self.forest is not None else 0)
+        forest_classes = (self.forest['classes']
+                          if self.forest is not None
+                          else tuple(range(Config.NUM_EMOTIONS)))
 
         def forest_fwd(arrays, s_p, t_p, i_p):
             x = jnp.concatenate([s_p, t_p, i_p],
                                 axis=-1).astype(jnp.float32)
-            return forest_ops.forest_apply(arrays, x, forest_depth)
+            p = forest_ops.forest_apply(arrays, x, forest_depth)
+            if forest_classes == tuple(range(Config.NUM_EMOTIONS)):
+                return p
+            full = jnp.zeros((p.shape[0], Config.NUM_EMOTIONS), p.dtype)
+            return full.at[:, jnp.asarray(forest_classes)].set(p)
 
         def trimodal_fwd(sv, scaler, bv, iv, fv, waves, ids, mask, img_wire):
             """One traced graph: 3 encoders (single pass each) + fusion,
@@ -703,8 +741,11 @@ class EmotionEngine:
 
     def _wire_image(self, imgs: np.ndarray, bucket: int):
         """Perf mode ships YUV 4:2:0 (half the uint8 RGB bytes); parity
-        mode ships raw uint8. Row-padded to the dispatch bucket."""
-        if self._compress:
+        mode ships raw uint8. Row-padded to the dispatch bucket.
+        4:2:0 subsampling needs even H/W (wire.py invariant) — an
+        odd-resolution artifact ships raw uint8 instead of crashing."""
+        if (self._compress and imgs.shape[1] % 2 == 0
+                and imgs.shape[2] % 2 == 0):
             y8, uv8 = wire.encode_yuv420(imgs)
             return (_pad_rows(y8, bucket), _pad_rows(uv8, bucket))
         return _pad_rows(imgs, bucket)

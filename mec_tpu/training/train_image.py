@@ -93,6 +93,9 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
           labels: Optional[np.ndarray] = None, verbose: bool = True,
           bf16: bool = False, arch: str = 'resnet50'):
     log = print if verbose else (lambda *_a, **_k: None)
+    if img_size % 2:
+        raise SystemExit(f'--img-size {img_size} must be even: serving '
+                         'ships YUV 4:2:0 images (2x2 chroma subsampling)')
     if imgs is None:
         paths, labels = data.list_image_dataset(data_root, verbose=verbose)
         if not paths:

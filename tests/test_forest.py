@@ -194,3 +194,139 @@ class TestEngineRFMode:
             assert 'attention_weights' in out['fusion']
         finally:
             Config.FUSION_MODE = old
+
+
+class TestReviewHardening:
+    def test_threshold_floor32_invariant(self):
+        """Thresholds are stored as the largest float32 <= the float64
+        sklearn threshold, so `x <= t` decisions match sklearn exactly
+        for float32 inputs (midpoint round-up would flip boundary
+        cases)."""
+        rf, _x = _fit_rf(n_estimators=10, n_samples=900)
+        arrays, _meta = forest.from_sklearn(rf)
+        for i, est in enumerate(rf.estimators_):
+            t = est.tree_
+            n = t.node_count
+            internal = t.children_left[:n] != -1
+            t64 = t.threshold[:n][internal]
+            t32 = arrays['threshold'][i, :n][internal]
+            assert (t32.astype(np.float64) <= t64).all()
+            up = np.nextafter(t32, np.float32(np.inf), dtype=np.float32)
+            assert (up.astype(np.float64) > t64).all()
+
+    def test_parity_on_training_values(self):
+        # inputs exactly equal to training feature values are the ones
+        # that can sit on split boundaries
+        rf, _ = _fit_rf(n_estimators=20, n_samples=600, seed=3)
+        rng = np.random.RandomState(3)
+        x_train = rng.rand(600, 21).astype(np.float32)  # same draw as fit
+        np.testing.assert_allclose(_apply(rf, x_train),
+                                   rf.predict_proba(x_train), atol=1e-6)
+        assert (_apply(rf, x_train).argmax(1) == rf.predict(x_train)).all()
+
+    def test_engine_rejects_missing_depth(self, tmp_path):
+        from mec_tpu.config import Config
+        from mec_tpu.serving.engine import EmotionEngine
+        arrays, meta = forest.from_sklearn(_fit_rf(n_estimators=3)[0])
+        del meta['depth']
+        from mec_tpu.convert import store
+        d = tmp_path / 'models'
+        d.mkdir()
+        store.save_params(str(d / 'fusion_rf.mecp'), {'forest': arrays},
+                          meta=meta)
+        old = Config.FUSION_MODE
+        Config.FUSION_MODE = 'rf'
+        try:
+            e = EmotionEngine(models_dir=str(d))
+            assert e.forest is None          # rejected at load
+            assert e._fusion_kind is None    # fallback ladder
+        finally:
+            Config.FUSION_MODE = old
+
+    def test_engine_rejects_wrong_feature_count(self, tmp_path):
+        from mec_tpu.config import Config
+        from mec_tpu.serving.engine import EmotionEngine
+        rf, _ = _fit_rf(n_estimators=3, n_features=10)
+        arrays, meta = forest.from_sklearn(rf)
+        from mec_tpu.convert import store
+        d = tmp_path / 'models'
+        d.mkdir()
+        store.save_params(str(d / 'fusion_rf.mecp'), {'forest': arrays},
+                          meta=meta)
+        old = Config.FUSION_MODE
+        Config.FUSION_MODE = 'rf'
+        try:
+            assert EmotionEngine(models_dir=str(d)).forest is None
+        finally:
+            Config.FUSION_MODE = old
+
+    def test_class_subset_scatters_to_full_vector(self, tmp_path):
+        """A forest fitted without some emotions (possible via a small
+        --manifest) must scatter its outputs into the full 7-wide vector
+        rather than shifting labels."""
+        from sklearn.ensemble import RandomForestClassifier
+        from mec_tpu.config import Config
+        from mec_tpu.convert import store
+        from mec_tpu.serving.engine import EmotionEngine
+        from mec_tpu.serving.synthetic_artifacts import (
+            write_synthetic_artifacts)
+        rng = np.random.RandomState(0)
+        x = rng.rand(300, 21).astype(np.float32)
+        y = rng.choice([0, 2, 6], 300)  # happy, angry, neutral only
+        rf = RandomForestClassifier(n_estimators=6, max_depth=5,
+                                    random_state=0).fit(x, y)
+        arrays, meta = forest.from_sklearn(rf)
+        assert meta['classes'] == [0, 2, 6]
+        d = str(tmp_path / 'models')
+        write_synthetic_artifacts(d, tiny=True)
+        store.save_params(f'{d}/fusion_rf.mecp', {'forest': arrays},
+                          meta=meta)
+        old = Config.FUSION_MODE
+        Config.FUSION_MODE = 'rf'
+        try:
+            e = EmotionEngine(models_dir=d)
+            assert e._fusion_kind == 'rf' and e.forest['classes'] == (0, 2, 6)
+            probe = rng.rand(2, 21).astype(np.float32)
+            out = np.asarray(e._forest_jit(e.forest['arrays'],
+                                           probe[:, :7], probe[:, 7:14],
+                                           probe[:, 14:]))
+            assert out.shape == (2, 7)
+            np.testing.assert_allclose(out[:, [0, 2, 6]],
+                                       rf.predict_proba(probe), atol=1e-6)
+            assert (out[:, [1, 3, 4, 5]] == 0).all()
+        finally:
+            Config.FUSION_MODE = old
+
+    def test_attention_mode_skips_forest_load(self, tmp_path):
+        """With the default MEC_FUSION_MODE=attention, a present forest
+        artifact is not loaded (no device memory for arrays the graph
+        never reads)."""
+        from mec_tpu.config import Config
+        from mec_tpu.serving.engine import EmotionEngine
+        from mec_tpu.convert import store
+        arrays, meta = forest.from_sklearn(_fit_rf(n_estimators=3)[0])
+        d = tmp_path / 'models'
+        d.mkdir()
+        store.save_params(str(d / 'fusion_rf.mecp'), {'forest': arrays},
+                          meta=meta)
+        # pin the mode: the module-scoped rf_engine fixture holds
+        # FUSION_MODE='rf' until module teardown
+        old = Config.FUSION_MODE
+        Config.FUSION_MODE = 'attention'
+        try:
+            e = EmotionEngine(models_dir=str(d))
+            assert e.forest is None
+        finally:
+            Config.FUSION_MODE = old
+
+
+def test_odd_image_size_rejected_and_wire_safe(tmp_path):
+    import pytest as _pytest
+    from mec_tpu.training import train_image
+    rng = np.random.RandomState(0)
+    with _pytest.raises(SystemExit, match='even'):
+        train_image.train(data_root='', img_size=49, epochs=1,
+                          models_dir=str(tmp_path),
+                          imgs=rng.randint(0, 255, (8, 49, 49, 3), np.uint8),
+                          labels=(np.arange(8) % 7).astype(np.int32),
+                          augment=False, verbose=False)
