@@ -4,7 +4,8 @@
 
 Converts whatever reference-format artifacts exist in the directory —
 speech_model.h5 (+speech_scaler.pkl), text_model.h5
-(+text_model_tokenizer.pkl), image_model.pt, fusion_model.pt,
+(+text_model_tokenizer.pkl), image_model.pt (ResNet50 or MobileNetV2,
+auto-detected), fusion_model.pt, fusion_rf.pkl (sklearn random forest),
 bert_model/ — into the `.mecp` files the serving engine loads directly.
 The engine also does this lazily on first load; the CLI makes the
 migration explicit and reports what it found.
@@ -71,6 +72,15 @@ def convert_all(models_dir: str) -> int:
         store.save_params(out('fusion_model.mecp'), convert_fusion_pt(pt),
                           meta={'config': fusion_config_from_pt(pt)})
         print(f'converted {pt}')
+        converted += 1
+
+    # random-forest fusion variant (sklearn joblib/pickle)
+    pkl = out('fusion_rf.pkl')
+    if os.path.exists(pkl):
+        from mec_tpu.convert.sklearn_rf import convert_fusion_rf
+        variables, meta = convert_fusion_rf(pkl)
+        store.save_params(out('fusion_rf.mecp'), variables, meta=meta)
+        print(f'converted {pkl}')
         converted += 1
 
     # BERT dir

@@ -330,3 +330,55 @@ def test_odd_image_size_rejected_and_wire_safe(tmp_path):
                           imgs=rng.randint(0, 255, (8, 49, 49, 3), np.uint8),
                           labels=(np.arange(8) % 7).astype(np.int32),
                           augment=False, verbose=False)
+
+
+def test_webapp_renders_rf_fusion_chip(tmp_path):
+    """The HTML results page shows the random-forest badge when rf
+    fusion served (and the API JSON carries method=random_forest)."""
+    from werkzeug.test import Client
+    from mec_tpu.config import Config
+    from mec_tpu.database import Database
+    from mec_tpu.ops import wav as wav_ops
+    from mec_tpu.serving import engine as eng
+    from mec_tpu.serving.synthetic_artifacts import write_synthetic_artifacts
+    from mec_tpu.training import train_fusion_rf
+    from mec_tpu.webapp.app import create_app
+    from PIL import Image
+
+    d = str(tmp_path / 'models')
+    write_synthetic_artifacts(d, tiny=True)
+    train_fusion_rf.train(num_samples=300, n_estimators=6, max_depth=5,
+                          models_dir=d, verbose=False)
+    old_mode, old_upload = Config.FUSION_MODE, Config.UPLOAD_FOLDER
+    Config.FUSION_MODE = 'rf'
+    Config.UPLOAD_FOLDER = str(tmp_path / 'uploads')
+    try:
+        eng.get_engine(models_dir=d, reload=True)
+        client = Client(create_app(db=Database(str(tmp_path / 'web.db')),
+                                   testing=True))
+        client.post('/register', data={'username': 'tester',
+                                       'email': 't@example.com',
+                                       'password': 'password123'})
+        wavp = str(tmp_path / 'a.wav')
+        t = np.arange(22050 * 3) / 22050.0
+        wav_ops.write_wav(wavp, (0.2 * np.sin(2 * np.pi * 440 * t)
+                                 ).astype(np.float32), 22050)
+        imgp = str(tmp_path / 'i.png')
+        Image.fromarray(np.random.RandomState(0).randint(
+            0, 255, (64, 64, 3), np.uint8)).save(imgp)
+        r = client.post('/predict/multimodal',
+                        data={'text_input': 'so happy today',
+                              'audio_file': (open(wavp, 'rb'), 'a.wav'),
+                              'image_file': (open(imgp, 'rb'), 'i.png')})
+        assert r.status_code == 200
+        assert 'random-forest fusion' in r.get_data(as_text=True)
+        rj = client.post('/api/predict/multimodal',
+                         data={'text': 'so happy today',
+                               'audio': (open(wavp, 'rb'), 'a.wav'),
+                               'image': (open(imgp, 'rb'), 'i.png')})
+        assert rj.status_code == 200
+        assert rj.get_json()['fusion'].get('method') == 'random_forest'
+    finally:
+        Config.FUSION_MODE = old_mode
+        Config.UPLOAD_FOLDER = old_upload
+        eng._engine = None  # drop the global so other tests rebuild
