@@ -67,17 +67,25 @@ def prepare_assets(tmp: str):
 
 
 def models_dir_or_synthetic() -> str:
-    """Prefer real converted artifacts under models/, else synthesize."""
+    """Prefer real converted artifacts under models/, else synthesize.
+
+    MEC_BENCH_IMAGE_ARCH=mobilenet_v2 (+ MEC_BENCH_IMAGE_SIZE, e.g. 48)
+    benches the fast image variant instead of the default ResNet50@224
+    (synthetic-artifact path only)."""
     from mec_tpu.config import Config
     if os.path.exists(os.path.splitext(Config.SPEECH_MODEL_PATH)[0]
                       + '.mecp'):
         return os.path.dirname(Config.SPEECH_MODEL_PATH)
-    synth = os.path.join('/tmp', 'mec_bench_models')
+    arch = os.environ.get('MEC_BENCH_IMAGE_ARCH', 'resnet50')
+    size = int(os.environ.get('MEC_BENCH_IMAGE_SIZE', '224'))
+    synth = os.path.join(
+        '/tmp', 'mec_bench_models' if (arch, size) == ('resnet50', 224)
+        else f'mec_bench_models_{arch}_{size}')
     marker = os.path.join(synth, 'fusion_model.mecp')
     if not os.path.exists(marker):
         from mec_tpu.serving.synthetic_artifacts import (
             write_synthetic_artifacts)
-        write_synthetic_artifacts(synth)
+        write_synthetic_artifacts(synth, image_arch=arch, image_size=size)
     return synth
 
 
@@ -155,7 +163,7 @@ def run_bench():
         ids, mask = engine._seq_slice(*engine.bert_tokenizer.encode_batch(
             [text] * BATCH, Config.MAX_TEXT_LENGTH))
         img = engine._wire_image(np.repeat(
-            load_image_uint8(img_path)[None], BATCH, 0), BATCH)
+            load_image_uint8(img_path, engine._image_size)[None], BATCH, 0), BATCH)
         dargs = [jax.device_put(x) for x in (waves, ids, mask, img)]
         margs = (engine.speech['variables'], engine.speech['scaler'],
                  engine.bert['variables'], engine.image['variables'],
@@ -177,7 +185,7 @@ def run_bench():
                 *engine.bert_tokenizer.encode_batch(
                     [text] * B2, Config.MAX_TEXT_LENGTH))
             img2 = engine._wire_image(np.repeat(
-                load_image_uint8(img_path)[None], B2, 0), B2)
+                load_image_uint8(img_path, engine._image_size)[None], B2, 0), B2)
             dargs2 = [jax.device_put(x)
                       for x in (waves2, ids2, mask2, img2)]
             _ = np.asarray(engine._trimodal_jit(*margs, *dargs2))
@@ -235,7 +243,7 @@ def run_bench():
             ids, mask = engine._seq_slice(
                 *engine.bert_tokenizer.encode_batch(
                     [text], Config.MAX_TEXT_LENGTH))
-            iw = engine._wire_image(load_image_uint8(img_path)[None], b1)
+            iw = engine._wire_image(load_image_uint8(img_path, engine._image_size)[None], b1)
             hosts.append((time.perf_counter() - t0) * 1e3)
         margs1 = (engine.speech['variables'], engine.speech['scaler'],
                   engine.bert['variables'], engine.image['variables'],

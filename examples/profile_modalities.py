@@ -45,7 +45,7 @@ def main():
              engine.fusion['variables'])
 
     wave = wav_ops.load_and_fix_length(wav_path)[0]
-    img = load_image_uint8(img_path)
+    img = load_image_uint8(img_path, engine._image_size)
 
     for B in BATCHES:
         waves = engine._wire_waves(np.repeat(wave[None], B, 0), B)

@@ -43,8 +43,13 @@ def make_vocab() -> Dict[str, int]:
 
 
 def write_synthetic_artifacts(models_dir: str, *, tiny: bool = False,
-                              seed: int = 0) -> str:
-    """Populate `models_dir` with all five artifacts; returns the dir."""
+                              seed: int = 0,
+                              image_arch: str = 'resnet50',
+                              image_size: int = 224) -> str:
+    """Populate `models_dir` with all five artifacts; returns the dir.
+
+    image_arch/image_size select the image variant ('mobilenet_v2' and
+    e.g. 48 for the FER2013-native fast configuration)."""
     os.makedirs(models_dir, exist_ok=True)
     rng = jax.random.PRNGKey(seed)
 
@@ -92,13 +97,19 @@ def write_synthetic_artifacts(models_dir: str, *, tiny: bool = False,
     tok.fit_on_texts([' '.join(_WORDS)])
     tok.to_json_file(os.path.join(models_dir, 'text_model_tokenizer.json'))
 
-    # image ResNet50 (always full-size: the engine instantiates the
-    # default architecture, only the other models' dims are derivable)
-    image = ImageEmotionModel()
-    v = image.init(rng, jnp.zeros((1, 224, 224, 3), jnp.float32))
+    # image encoder (the engine detects the arch from the params layout
+    # and serves at the artifact-declared resolution)
+    if image_arch == 'mobilenet_v2':
+        from mec_tpu.models.mobilenet import MobileNetV2EmotionModel
+        image = MobileNetV2EmotionModel()
+    else:
+        image = ImageEmotionModel()
+    v = image.init(rng, jnp.zeros((1, image_size, image_size, 3),
+                                  jnp.float32))
     store.save_params(os.path.join(models_dir, 'image_model.mecp'),
                       {'params': v['params'],
-                       'batch_stats': v['batch_stats']})
+                       'batch_stats': v['batch_stats']},
+                      meta={'arch': image_arch, 'img_size': image_size})
 
     # fusion
     cfg = {'speech_dim': 64, 'text_dim': kwargs.get('hidden_size', 768),
