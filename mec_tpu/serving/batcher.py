@@ -49,6 +49,7 @@ class BatchQueue:
         self._lock = threading.Lock()
         self._pending: List[Tuple[Any, Future]] = []
         self._wakeup = threading.Event()
+        self._full = threading.Event()   # largest bucket reached
         self._stopped = False
         self._slots = threading.Semaphore(self.pipeline_depth)
         self._exec = ThreadPoolExecutor(max_workers=self.pipeline_depth,
@@ -66,13 +67,17 @@ class BatchQueue:
             if self._stopped:
                 raise RuntimeError('batcher stopped')
             self._pending.append((item, fut))
+            full = len(self._pending) >= self.max_batch
         self._wakeup.set()
+        if full:
+            self._full.set()
         return fut.result()
 
     def stop(self) -> None:
         with self._lock:
             self._stopped = True
         self._wakeup.set()
+        self._full.set()   # don't sit out a long linger during shutdown
         self._thread.join(timeout=10)
         # Shut the pool down only once the collector has actually exited:
         # shutting it while the collector is still blocked in
@@ -95,10 +100,18 @@ class BatchQueue:
                     self._wakeup.clear()
             if not has_work:
                 continue
-            # linger so concurrent submitters join this batch
+            # linger so concurrent submitters join this batch — cut
+            # short as soon as the largest bucket fills (the docstring's
+            # 'or when the largest bucket fills' contract; a full bucket
+            # gains nothing from waiting out the timeout)
             if self.timeout_s > 0:
-                deadline = threading.Event()
-                deadline.wait(self.timeout_s)
+                with self._lock:
+                    full = (len(self._pending) >= self.max_batch
+                            or self._stopped)
+                    if not full:
+                        self._full.clear()
+                if not full:
+                    self._full.wait(self.timeout_s)
             # wait for a pipeline slot BEFORE forming the batch: while
             # every worker is busy, arrivals keep coalescing into one
             # larger batch instead of many early small ones

@@ -1008,6 +1008,7 @@ class EmotionEngine:
         """Batched tri-modal: requests with all three inputs share one
         dispatch; the rest take the per-modality path."""
         out: List[Optional[Dict]] = [None] * len(requests)
+        degraded: Dict[int, Dict[str, Any]] = {}
         full_idx = [i for i, r in enumerate(requests)
                     if r.get('audio_path') and r.get('text')
                     and r.get('image_path')]
@@ -1041,6 +1042,7 @@ class EmotionEngine:
                     log.warning('batch audio decode failed (%s): %s',
                                 requests[i]['audio_path'], e)
                     imf.cancel()
+                    degraded[i] = {'audio_failed': True}
 
             def stage_audio_text(rows):
                 """Encode + device_put the audio wire and token ids for
@@ -1064,6 +1066,7 @@ class EmotionEngine:
                 except Exception as e:
                     log.warning('batch image decode failed (%s): %s',
                                 requests[i]['image_path'], e)
+                    degraded[i] = {'wave': w, 'image_failed': True}
             if len(good) != len(audio_good) and good:
                 # rare: an image decode failed after the audio rows were
                 # already streaming — restage the (cheap) host-side parts
@@ -1088,10 +1091,45 @@ class EmotionEngine:
                 }
         for i, r in enumerate(requests):
             if out[i] is None:
-                out[i] = self.predict_multimodal(r.get('audio_path'),
-                                                 r.get('text'),
-                                                 r.get('image_path'))
+                if i in degraded:
+                    # decode already failed once in this batch — build
+                    # the fallback-ladder result from the pieces instead
+                    # of re-running the fused path (which would re-decode
+                    # the good audio and re-fail on the bad image)
+                    out[i] = self._predict_degraded(r, **degraded[i])
+                else:
+                    out[i] = self.predict_multimodal(r.get('audio_path'),
+                                                     r.get('text'),
+                                                     r.get('image_path'))
         return out
+
+    def _predict_degraded(self, request: Dict, wave=None,
+                          audio_failed: bool = False,
+                          image_failed: bool = False) -> Dict[str, Dict]:
+        """Full tri-modal request with one undecodable upload (detected
+        in the batched path): per-modality results + weighted fusion —
+        exactly what the single-request ladder produces — computed from
+        what already decoded, with no second decode attempt."""
+        results: Dict[str, Dict] = {}
+        if audio_failed:
+            probs = heuristic_probs('neutral')
+            results['speech'] = {'emotion': 'neutral',
+                                 'confidence': float(max(probs)),
+                                 'all_probabilities': probs,
+                                 '_fallback': True}
+        elif wave is not None:
+            results['speech'] = self.predict_speech_waves(wave[None])[0]
+        results['text'] = self.predict_texts([request['text']])[0]
+        results['image'] = (self.image_fallback() if image_failed
+                            else self.predict_image_paths(
+                                [request['image_path']])[0])
+        results['fusion'] = self.fuse_weighted(
+            results['speech'].get('all_probabilities'),
+            results['text'].get('all_probabilities'),
+            results['image'].get('all_probabilities'))
+        for r in results.values():
+            r.pop('_features', None)
+        return results
 
 
 _engine: Optional[EmotionEngine] = None

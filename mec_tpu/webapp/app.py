@@ -140,9 +140,10 @@ class EmotionApp:
         self._engine = engine
         self._batcher = None
         self._models_dir = models_dir
-        self._init_lock = __import__('threading').Lock()
+        import threading
+        self._init_lock = threading.Lock()
         # cap concurrent SSE metric streams — each pins a worker thread
-        self._stream_slots = __import__('threading').BoundedSemaphore(
+        self._stream_slots = threading.BoundedSemaphore(
             int(os.environ.get('MEC_METRICS_STREAMS', '8')))
         self.limiter = ratelimit.RateLimiter(
             enabled=not testing and Config.RATELIMIT_ENABLED)
@@ -204,7 +205,11 @@ class EmotionApp:
             return True
         token = request.form.get('csrf_token')
         want = session.get('_csrf')
-        return bool(token and want) and hmac.compare_digest(token, want)
+        # compare as bytes: compare_digest raises TypeError on non-ASCII
+        # str, and the form field is attacker-controlled — a garbage
+        # token must mean 400, not 500
+        return bool(token and want) and hmac.compare_digest(
+            token.encode('utf-8'), str(want).encode('utf-8'))
 
     def _save_upload(self, fileobj, kind: str) -> Optional[str]:
         if not (fileobj and fileobj.filename
@@ -251,6 +256,11 @@ class EmotionApp:
             return response(environ, start_response)
         session = load_session(request.cookies.get(COOKIE_NAME))
         had_cookie = bool(request.cookies.get(COOKIE_NAME))
+        # enforced by werkzeug WHILE parsing, so a chunked request with
+        # no Content-Length header cannot stream an unbounded body past
+        # the header-only check below (reference MAX_CONTENT_LENGTH,
+        # reference config.py:48 / 413 handler app.py:637)
+        request.max_content_length = Config.MAX_FILE_SIZE
         try:
             if (request.content_length or 0) > Config.MAX_FILE_SIZE:
                 raise RequestEntityTooLarge()
@@ -260,7 +270,10 @@ class EmotionApp:
             # (the reference's Flask-Limiter default '200/day; 50/hour',
             # reference app.py:63-75); register/login add stricter rules
             # inside their handlers
-            if not self.limiter.allow(
+            # static assets are exempt: every page load fetches them,
+            # so the 50/hour default budget would break page styling for
+            # active users long before any HTML route limits trip
+            if endpoint != 'static_file' and not self.limiter.allow(
                     f'{endpoint}:{request.remote_addr}',
                     ratelimit.DEFAULT_RULES):
                 raise TooManyRequests('Rate limit exceeded')

@@ -54,28 +54,34 @@ class RateLimiter:
     def __init__(self, enabled: bool = True):
         self.enabled = enabled
         self._lock = threading.Lock()
-        self._hits: Dict[Tuple[str, int], Deque[float]] = defaultdict(deque)
+        # windows are keyed by (key, limit, window) — the RULE identity,
+        # not its index: the same key is checked against DEFAULT_RULES by
+        # the app dispatcher AND against LOGIN/REGISTER_RULES inside the
+        # handler, and index-keying made those share deques (a single GET
+        # of /login consumed the 5/15-min login budget)
+        self._hits: Dict[Tuple[str, int, float],
+                         Deque[float]] = defaultdict(deque)
 
     def allow(self, key: str, rules: Sequence[Rule] = DEFAULT_RULES) -> bool:
         if not self.enabled:
             return True
         now = time.time()
         with self._lock:
-            for i, (limit, window) in enumerate(rules):
+            for limit, window in rules:
                 # .get, not defaultdict access: the check loop must not
                 # materialize entries for keys that end up denied, or a
                 # scan from many addresses grows the dict forever
-                q = self._hits.get((key, i))
+                q = self._hits.get((key, limit, window))
                 if q is not None:
                     while q and q[0] <= now - window:
                         q.popleft()
                     if not q:
-                        del self._hits[(key, i)]   # fully expired window
+                        del self._hits[(key, limit, window)]  # expired
                         q = None
                 if q is not None and len(q) >= limit:
                     return False
-            for i, _ in enumerate(rules):
-                self._hits[(key, i)].append(now)
+            for limit, window in rules:
+                self._hits[(key, limit, window)].append(now)
         return True
 
     def reset(self) -> None:

@@ -68,9 +68,14 @@ def load_session(cookie_value: Optional[str],
     body, sig = cookie_value.rsplit('.', 1)
     try:
         payload = _b64d(body)
+        # compare as bytes: compare_digest raises TypeError on non-ASCII
+        # str input, and an attacker controls `sig` — a malformed cookie
+        # must mean "no session", never an exception
+        ok = hmac.compare_digest(_sign(payload, secret).encode('ascii'),
+                                 sig.encode('utf-8'))
     except Exception:
         return Session()
-    if not hmac.compare_digest(_sign(payload, secret), sig):
+    if not ok:
         return Session()
     try:
         data: Dict[str, Any] = json.loads(payload)
