@@ -78,7 +78,10 @@ def accelerate(tokenizer) -> bool:
     python_encode_batch = tokenizer.encode_batch
 
     def fast_encode_batch(texts, max_length: int = 128):
-        if all(isinstance(t, str) and t.isascii() for t in texts):
+        if all(isinstance(t, str) and t.isascii() and '\x00' not in t
+               for t in texts):
+            # ASCII-only AND NUL-free: an embedded NUL would terminate
+            # the C string and silently drop the rest of the text
             return native.encode_batch(list(texts), max_length)
         return python_encode_batch(texts, max_length)
 

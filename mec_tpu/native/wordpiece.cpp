@@ -40,7 +40,9 @@ inline bool is_punct(unsigned char c) {
 }
 
 inline bool is_ctrl(unsigned char c) {
-    return c < 32 && !is_ws(c);
+    // matches Python's unicodedata category Cc for ASCII: 0x00-0x1f
+    // (minus the whitespace ones) plus DEL 0x7f
+    return (c < 32 || c == 127) && !is_ws(c);
 }
 
 // lowercase + clean + whitespace/punctuation split

@@ -180,7 +180,7 @@ def dft_spectrograms(frames: jnp.ndarray, precision: str = 'highest'
 
 @functools.lru_cache(maxsize=1)
 def _mel_dct_mats() -> Tuple[np.ndarray, np.ndarray]:
-    mel = filters.mel_filterbank(22050, N_FFT, N_MELS)        # (M, F)
+    mel = filters.mel_filterbank(Config.SAMPLE_RATE, N_FFT, N_MELS)        # (M, F)
     melT = np.zeros((_NBINS_PAD, N_MELS), np.float32)
     melT[:N_BINS] = np.asarray(mel, np.float32).T
     dctT = np.zeros((N_MELS, 128), np.float32)

@@ -215,6 +215,12 @@ def fit(state: TrainState,
             # fresh random-init variables captured above
             if extra.get('best_vars') is not None:
                 best_vars = extra['best_vars']
+            # callback state too: without these a resumed run resets the
+            # early-stop/plateau clocks and trains up to `patience` extra
+            # non-improving epochs an uninterrupted run would not
+            best_epoch = int(extra.get('best_epoch', best_epoch))
+            plateau_wait = int(extra.get('plateau_wait', 0))
+            stop_wait = int(extra.get('stop_wait', 0))
             log_fn(f'Resumed from {checkpoint_path} at epoch {start_epoch}')
 
     batch_shard = batch_sharding(mesh) if mesh is not None else None
@@ -410,6 +416,7 @@ def fit(state: TrainState,
                f'val_acc: {val_acc:.4f} - lr: {lr_now:.2e}')
 
         metric = val_acc if monitor == 'val_acc' else -val_loss
+        stopped = False
         if metric > best_metric + min_delta:
             best_metric = metric
             best_vars = jax.tree.map(np.asarray, state.variables)
@@ -427,20 +434,27 @@ def fit(state: TrainState,
                            f'-> {new_lr:.2e}')
                     state = set_lr(state, new_lr)
                 plateau_wait = 0
-            if patience is not None and stop_wait >= patience:
-                log_fn(f'Early stopping at epoch {epoch + 1} '
-                       f'(best epoch {best_epoch + 1})')
-                break
+            stopped = (patience is not None and stop_wait >= patience)
 
+        # checkpoint BEFORE honoring early stop, so the stopping epoch's
+        # state (incl. the callback counters) is resumable
         if checkpoint_path:
             from mec_tpu.training import checkpoint as _ckpt
             _ckpt.save_train_state(
                 checkpoint_path, state,
                 extra={'epoch': epoch, 'history': history,
                        'best_metric': float(best_metric),
-                       'best_vars': best_vars})
+                       'best_vars': best_vars,
+                       'best_epoch': best_epoch,
+                       'plateau_wait': plateau_wait,
+                       'stop_wait': stop_wait})
 
         if on_epoch_end is not None:
             on_epoch_end(epoch, state, history)
+
+        if stopped:
+            log_fn(f'Early stopping at epoch {epoch + 1} '
+                   f'(best epoch {best_epoch + 1})')
+            break
 
     return state, best_vars, history

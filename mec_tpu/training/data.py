@@ -75,7 +75,7 @@ def load_speech_dataset(data_root: str, pattern: str = '**/*.wav',
     labels: List[int] = []
     feats_out: List[np.ndarray] = []
 
-    features_jit = jax.jit(af.audio_features_56)
+    features_jit = af.audio_features_56_jit  # shared compile
 
     def flush():
         if not waves:

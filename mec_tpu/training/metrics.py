@@ -74,6 +74,8 @@ def train_test_split_stratified(n: int, labels: np.ndarray,
     stratify=labels, reference train_speech_model.py:187-190)."""
     rng = np.random.RandomState(seed)
     labels = np.asarray(labels)
+    if n != len(labels):
+        raise ValueError(f'n={n} does not match len(labels)={len(labels)}')
     train_idx: List[int] = []
     test_idx: List[int] = []
     for cls in np.unique(labels):

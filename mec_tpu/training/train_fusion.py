@@ -188,28 +188,37 @@ def train(num_samples: int = 10000, epochs: int = 100,
         t *= 2
     lr = optax.join_schedules(schedules, boundaries[:-1]) \
         if len(schedules) > 1 else schedules[0]
-    tx = optax.chain(optax.clip_by_global_norm(1.0),
-                     optax.adamw(lr, weight_decay=0.01))
+    # inject_hyperparams (via adamw_with_clip) so get_lr logs the live
+    # rate instead of 'lr: nan'
+    tx = common.adamw_with_clip(lr, weight_decay=0.01, clipnorm=1.0)
     state = common.TrainState.create({'params': variables['params']}, tx)
 
     train_step_full, eval_step = make_steps(model)
-    last_weights = {}
 
     def train_step(state, batch, rng):
-        state, loss, aw, dw = train_step_full(state, batch, rng)
-        # keep the DEVICE arrays: only on_epoch_end reads them, and a
-        # np.asarray here would block ~30 ms per step on a remote chip
-        # (fetches are the only sync points on the axon tunnel)
-        last_weights['attn'] = aw
-        last_weights['decision'] = dw
+        state, loss, _aw, _dw = train_step_full(state, batch, rng)
+        # the step must stay side-effect-free: under fit()'s lax.scan
+        # fast path it is TRACED, and stashing aw/dw here leaks tracers
+        # (reproduced: np.asarray of them crashed at epoch end whenever
+        # the split divided evenly by batch_size)
         return state, loss
 
+    # per-epoch mean attention/decision weights (reference
+    # train_fusion_model.py:602-603), computed on a fixed probe batch
+    probe = {k: v[:64] for k, v in sub(va).items()}
+
+    @jax.jit
+    def weights_step(variables, batch):
+        _logits, aw, dw = model.apply(
+            variables, batch['s_feat'], batch['t_feat'], batch['i_feat'],
+            batch['s_pred'], batch['t_pred'], batch['i_pred'])
+        return jnp.mean(aw, axis=0), jnp.mean(dw, axis=0)
+
     def on_epoch_end(epoch, state, history):
-        if last_weights:
-            aw = np.round(np.asarray(last_weights['attn']), 3)
-            dw = np.round(np.asarray(last_weights['decision']), 3)
-            log(f'  mean attention weights [s,t,i]: {aw.tolist()} | '
-                f'decision weights: {dw.tolist()}')
+        aw, dw = weights_step(state.variables, probe)
+        log(f'  mean attention weights [s,t,i]: '
+            f'{np.round(np.asarray(aw), 3).tolist()} | decision weights: '
+            f'{np.round(np.asarray(dw), 3).tolist()}')
 
     mesh = make_mesh(data=mesh_data) if mesh_data > 1 else None
     state, best_vars, history = common.fit(

@@ -154,8 +154,9 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
         log('\nPhase 2: fine-tuning all layers')
         steps = max(1, len(tr) // batch_size) * remaining
         sched = optax.cosine_decay_schedule(learning_rate, steps)
-        tx2 = optax.chain(optax.clip_by_global_norm(1.0),
-                          optax.adamw(sched, weight_decay=0.01))
+        # adamw_with_clip injects hyperparams so get_lr logs the live
+        # cosine rate instead of 'lr: nan'
+        tx2 = common.adamw_with_clip(sched, weight_decay=0.01)
         state = common.TrainState.create(
             {'params': best_vars['params'],
              'batch_stats': best_vars['batch_stats']}, tx2)

@@ -196,9 +196,15 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
         json.dump(cfg, f, indent=2)
     vocab_out = os.path.join(models_dir, 'vocab.txt')
     if not os.path.exists(vocab_out):
-        inv = sorted(tokenizer.vocab.items(), key=lambda kv: kv[1])
+        # write by explicit id POSITION (line number = token id): joining
+        # the sorted dict would close any id gaps in the source vocab and
+        # silently renumber every later token relative to the trained
+        # embedding rows
+        lines = [''] * (max(tokenizer.vocab.values()) + 1)
+        for tok, i in tokenizer.vocab.items():
+            lines[i] = tok
         with open(vocab_out, 'w', encoding='utf-8') as f:
-            f.write('\n'.join(tok for tok, _ in inv))
+            f.write('\n'.join(lines))
     log(f'Saved BERT artifacts to {models_dir}')
     return best_vars, history
 

@@ -130,3 +130,33 @@ def test_batch_degraded_image_skips_redecodes(tmp_path, monkeypatch):
     # decode economy: 2 audio decodes (one per request), 2 image attempts
     assert calls['wav'] == 2, calls
     assert calls['img'] == 2, calls
+
+
+def test_fusion_trainer_even_batch_split_no_tracer_leak(tmp_path):
+    """Reproduced crash: with the train split dividing evenly by
+    batch_size, fit()'s lax.scan path traced a side-effecting step that
+    leaked aw/dw tracers into on_epoch_end's np.asarray."""
+    from mec_tpu.training import train_fusion
+    # 200 samples -> 170/30 split... ensure evenly-dividing batch size
+    best_vars, cfg, hist = train_fusion.train(
+        num_samples=200, epochs=1, batch_size=43, models_dir=str(tmp_path),
+        verbose=False)
+    assert np.isfinite(hist['lr']).all(), hist['lr']   # no 'lr: nan'
+
+
+def test_native_wordpiece_control_chars_match_python():
+    """DEL (0x7f) strips like Python's Cc cleanup; an embedded NUL must
+    not truncate the text (routed back to the Python encoder)."""
+    import pytest as _pytest
+    from mec_tpu.text.wordpiece import WordPieceTokenizer
+    from mec_tpu.native import tokenizer as nat
+    vocab = {t: i for i, t in enumerate(
+        ['[PAD]', '[UNK]', '[CLS]', '[SEP]', 'ab', 'abc', 'hello',
+         'world', '##c'])}
+    tk = WordPieceTokenizer(vocab)
+    ref_ids, ref_mask = tk.encode_batch(['ab\x7fc', 'a\x00hello world'], 16)
+    if not nat.accelerate(tk):
+        _pytest.skip('native tokenizer unavailable (no compiler)')
+    ids, mask = tk.encode_batch(['ab\x7fc', 'a\x00hello world'], 16)
+    np.testing.assert_array_equal(ids, ref_ids)
+    np.testing.assert_array_equal(mask, ref_mask)
