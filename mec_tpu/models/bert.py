@@ -19,10 +19,37 @@ parity is established.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+def _seq_constrain(hidden: jnp.ndarray,
+                   seq_spec: Optional[Tuple[str, str]]) -> jnp.ndarray:
+    """Megatron-style sequence parallelism: constrain the (B, L, H)
+    residual stream to (batch_axis, seq_axis, None).
+
+    Annotated at the LayerNorm/dropout regions between the tensor-parallel
+    blocks; GSPMD then materialises the Megatron SP schedule (all-gather of
+    the sequence dim before the column-split qkv/FFN matmuls,
+    reduce-scatter after the row-split output matmuls) instead of plain
+    all-reduce, and the LN/dropout/residual math runs 1/TP-sized.
+    Resolves against the ambient mesh (jax.sharding.set_mesh) at trace
+    time; no-op when seq_spec is None OR when no mesh naming both axes is
+    in context (so model.init and single-device traces work unannotated —
+    the trainer enters set_mesh around the sharded fit).
+    """
+    if seq_spec is None:
+        return hidden
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty or any(a not in mesh.axis_names for a in seq_spec):
+        return hidden
+    from jax.sharding import PartitionSpec as P
+    batch_axis, seq_axis = seq_spec
+    return jax.lax.with_sharding_constraint(
+        hidden, P(batch_axis, seq_axis, None))
 
 
 class BertSelfAttention(nn.Module):
@@ -54,6 +81,7 @@ class BertLayer(nn.Module):
     intermediate_size: int = 3072
     dtype: jnp.dtype = jnp.float32
     gelu_approximate: bool = False
+    seq_spec: Optional[Tuple[str, str]] = None  # (batch_axis, seq_axis)
 
     @nn.compact
     def __call__(self, hidden: jnp.ndarray, attn_bias: jnp.ndarray
@@ -63,7 +91,8 @@ class BertLayer(nn.Module):
                                 name='attention_self')(hidden, attn_bias)
         ctx = nn.Dense(self.hidden_size, dtype=self.dtype,
                        name='attention_output')(ctx)
-        hidden = ln('attention_norm')(hidden + ctx)
+        hidden = _seq_constrain(ln('attention_norm')(hidden + ctx),
+                                self.seq_spec)
         inter = nn.Dense(self.intermediate_size, dtype=self.dtype,
                          name='intermediate')(hidden)
         # erf-GELU is the HF bert-base activation (parity path). The tanh
@@ -72,7 +101,8 @@ class BertLayer(nn.Module):
         # (B*L, 3072) measured 0.44 ms/step slower at batch 64 on the v5e.
         inter = nn.gelu(inter, approximate=self.gelu_approximate)
         out = nn.Dense(self.hidden_size, dtype=self.dtype, name='output')(inter)
-        return ln('output_norm')(hidden + out)
+        return _seq_constrain(ln('output_norm')(hidden + out),
+                              self.seq_spec)
 
 
 class BertForSequenceClassification(nn.Module):
@@ -87,6 +117,10 @@ class BertForSequenceClassification(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dropout_rate: float = 0.1  # HF hidden_dropout_prob (train only)
     gelu_approximate: bool = False  # tanh GELU: bf16 serving mode only
+    # Megatron sequence parallelism: (batch_axis, seq_axis) mesh-axis
+    # names, e.g. ('data', 'model'); the sequence dim shares the tensor-
+    # parallel axis. None = no sequence sharding (default).
+    seq_spec: Optional[Tuple[str, str]] = None
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
@@ -110,6 +144,7 @@ class BertForSequenceClassification(nn.Module):
                               name='embeddings_norm')(hidden)
         hidden = nn.Dropout(self.dropout_rate,
                             deterministic=not train)(hidden)
+        hidden = _seq_constrain(hidden, self.seq_spec)
 
         # HF-style additive mask: 0 where attended, dtype-min where padded
         neg = jnp.finfo(self.dtype if self.dtype != jnp.bfloat16
@@ -120,7 +155,7 @@ class BertForSequenceClassification(nn.Module):
         for i in range(self.num_layers):
             hidden = BertLayer(self.hidden_size, self.num_heads,
                                self.intermediate_size, self.dtype,
-                               self.gelu_approximate,
+                               self.gelu_approximate, self.seq_spec,
                                name=f'layer_{i}')(hidden, attn_bias)
 
         cls = hidden[:, 0, :]

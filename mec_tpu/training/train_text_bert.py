@@ -90,8 +90,21 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
           tokenizer: Optional[WordPieceTokenizer] = None,
           texts=None, labels=None, verbose: bool = True,
           seq_bucket: bool = True, mesh_pipe: int = 0,
-          microbatches: int = 2):
+          microbatches: int = 2, seq_parallel: bool = False):
     log = print if verbose else (lambda *_a, **_k: None)
+    if seq_parallel:
+        # Megatron sequence parallelism: the residual stream shards its
+        # sequence dim over the tensor-parallel 'model' axis (models/
+        # bert.py _seq_constrain); needs TP to mean anything. Validated
+        # up front, before any data touches disk.
+        if mesh_model <= 1:
+            raise SystemExit('--seq-parallel requires --mesh-model > 1 '
+                             '(the sequence dim shards over the tensor-'
+                             'parallel axis)')
+        if mesh_pipe > 1:
+            raise SystemExit('--seq-parallel with --mesh-pipe is not '
+                             'supported (the pipeline shard_map already '
+                             'owns the model axis inside stages)')
     if texts is None:
         texts, labels = data.load_text_dataset(csv_path, fold_labels=False,
                                                verbose=verbose)
@@ -137,7 +150,10 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
                 'label': np.asarray(labels)[va]}
     log(f'Training set: {len(tr)}  validation set: {len(va)}')
 
-    model = BertForSequenceClassification(**(model_kwargs or {}))
+    model_kwargs = dict(model_kwargs or {})
+    if seq_parallel:
+        model_kwargs.setdefault('seq_spec', ('data', 'model'))
+    model = BertForSequenceClassification(**model_kwargs)
     variables = init_from_pretrained(model, pretrained_dir, seed)
 
     steps_per_epoch = max(1, len(tr) // batch_size)
@@ -167,13 +183,19 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
             model, mesh, num_microbatches=microbatches)
     else:
         train_step, eval_step = make_steps(model)
-    state, best_vars, history = common.fit(
-        state, train_data, val_data, train_step, eval_step,
-        epochs=epochs, batch_size=batch_size, seed=seed,
-        monitor='val_acc', mesh=mesh, log_fn=log)
+    import contextlib
+    # seq_spec constraints name mesh axes with bare PartitionSpecs, which
+    # resolve against the ambient mesh at trace time
+    amb = (jax.sharding.set_mesh(mesh) if model.seq_spec is not None
+           else contextlib.nullcontext())
+    with amb:
+        state, best_vars, history = common.fit(
+            state, train_data, val_data, train_step, eval_step,
+            epochs=epochs, batch_size=batch_size, seed=seed,
+            monitor='val_acc', mesh=mesh, log_fn=log)
 
-    padded, n = common.pad_batch(val_data, len(va))
-    logits = np.asarray(eval_step(best_vars, padded))[:n]
+        padded, n = common.pad_batch(val_data, len(va))
+        logits = np.asarray(eval_step(best_vars, padded))[:n]
     preds = logits.argmax(axis=-1)
     log('\n' + metrics.classification_report(val_data['label'], preds,
                                              Config.EMOTIONS))
@@ -230,6 +252,12 @@ def main(argv=None):
     p.add_argument('--microbatches', type=int, default=2,
                    help='pipeline microbatches per step (with '
                         '--mesh-pipe; batch must split evenly)')
+    p.add_argument('--seq-parallel', action='store_true',
+                   help='Megatron sequence parallelism: shard the '
+                        'residual stream\'s sequence dim over the '
+                        'tensor-parallel axis (requires --mesh-model '
+                        '> 1; all-reduces become all-gather + '
+                        'reduce-scatter and LN/dropout run 1/TP-sized)')
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 compute (params stay float32): 3.3x '
                         'step rate on the v5e (29 vs 95 ms at batch 32)')
@@ -244,7 +272,7 @@ def main(argv=None):
           args.mesh_data, args.mesh_model,
           model_kwargs={'dtype': jnp.bfloat16} if args.bf16 else None,
           seq_bucket=not args.no_seq_bucket, mesh_pipe=args.mesh_pipe,
-          microbatches=args.microbatches)
+          microbatches=args.microbatches, seq_parallel=args.seq_parallel)
 
 
 if __name__ == '__main__':
