@@ -48,6 +48,11 @@ def model_kwargs_from_config(cfg: Dict[str, Any]) -> Dict[str, int]:
         type_vocab_size=cfg.get('type_vocab_size', 2),
         num_classes=cfg.get('num_labels',
                             len(cfg.get('id2label', {})) or 7),
+        # MoE extension (models/moe.py): absent/0 in every HF config,
+        # present when the artifact was trained with --experts
+        **({'num_experts': cfg['num_experts'],
+            'moe_capacity_factor': cfg.get('moe_capacity_factor', 1.25)}
+           if cfg.get('num_experts') else {}),
     )
 
 

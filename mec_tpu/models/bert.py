@@ -82,6 +82,9 @@ class BertLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     gelu_approximate: bool = False
     seq_spec: Optional[Tuple[str, str]] = None  # (batch_axis, seq_axis)
+    num_experts: int = 0            # >0: MoE FFN (models/moe.py)
+    moe_capacity_factor: float = 1.25
+    ep_axis: Optional[str] = None   # mesh axis for expert parallelism
 
     @nn.compact
     def __call__(self, hidden: jnp.ndarray, attn_bias: jnp.ndarray
@@ -93,6 +96,14 @@ class BertLayer(nn.Module):
                        name='attention_output')(ctx)
         hidden = _seq_constrain(ln('attention_norm')(hidden + ctx),
                                 self.seq_spec)
+        if self.num_experts > 0:
+            from mec_tpu.models.moe import MoEFFN
+            out = MoEFFN(self.hidden_size, self.intermediate_size,
+                         self.num_experts, self.moe_capacity_factor,
+                         self.dtype, self.gelu_approximate, self.ep_axis,
+                         name='moe')(hidden)
+            return _seq_constrain(ln('output_norm')(hidden + out),
+                                  self.seq_spec)
         inter = nn.Dense(self.intermediate_size, dtype=self.dtype,
                          name='intermediate')(hidden)
         # erf-GELU is the HF bert-base activation (parity path). The tanh
@@ -121,6 +132,13 @@ class BertForSequenceClassification(nn.Module):
     # names, e.g. ('data', 'model'); the sequence dim shares the tensor-
     # parallel axis. None = no sequence sharding (default).
     seq_spec: Optional[Tuple[str, str]] = None
+    # Mixture-of-Experts FFN (models/moe.py): >0 swaps every layer's
+    # dense FFN for a top-1-routed expert bank (TPU-scale extension;
+    # the reference serves dense bert-base only). ep_axis names the
+    # mesh axis experts shard over (expert parallelism).
+    num_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    ep_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
@@ -156,6 +174,9 @@ class BertForSequenceClassification(nn.Module):
             hidden = BertLayer(self.hidden_size, self.num_heads,
                                self.intermediate_size, self.dtype,
                                self.gelu_approximate, self.seq_spec,
+                               num_experts=self.num_experts,
+                               moe_capacity_factor=self.moe_capacity_factor,
+                               ep_axis=self.ep_axis,
                                name=f'layer_{i}')(hidden, attn_bias)
 
         cls = hidden[:, 0, :]

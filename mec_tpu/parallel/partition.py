@@ -44,6 +44,13 @@ def bert_partition_rules() -> BertRules:
         (('intermediate',), 'kernel', col),
         (('intermediate',), 'bias', P(MODEL_AXIS)),
         (('layer_', 'output'), 'kernel', row),
+        # MoE expert bank (models/moe.py): EXPERT parallelism — the
+        # leading expert dim shards over 'model'; the router stays
+        # replicated (it's (H, E), every rank routes every token)
+        (('moe',), 'wi', P(MODEL_AXIS, None, None)),
+        (('moe',), 'wo', P(MODEL_AXIS, None, None)),
+        (('moe',), 'bi', P(MODEL_AXIS, None)),
+        (('moe',), 'bo', P(MODEL_AXIS, None)),
     )
 
 

@@ -32,15 +32,31 @@ from mec_tpu.text.wordpiece import WordPieceTokenizer
 from mec_tpu.training import common, data, metrics
 
 
-def make_steps(model: BertForSequenceClassification):
+def make_steps(model: BertForSequenceClassification,
+               moe_aux_weight: float = 0.01):
+    moe = getattr(model, 'num_experts', 0) > 0
+
     @jax.jit
     def train_step(state: common.TrainState, batch, dropout_rng):
         def loss_fn(params):
-            logits, _cls = model.apply(
-                {'params': params}, batch['ids'], batch['mask'],
-                train=True, rngs={'dropout': dropout_rng})
+            if moe:
+                # MoE layers sow their load-balancing losses into the
+                # 'losses' collection (models/moe.py)
+                (logits, _cls), mut = model.apply(
+                    {'params': params}, batch['ids'], batch['mask'],
+                    train=True, rngs={'dropout': dropout_rng},
+                    mutable=['losses'])
+                aux = sum(jnp.sum(jnp.asarray(v))
+                          for v in jax.tree_util.tree_leaves(
+                              mut['losses']))
+            else:
+                logits, _cls = model.apply(
+                    {'params': params}, batch['ids'], batch['mask'],
+                    train=True, rngs={'dropout': dropout_rng})
+                aux = 0.0
             onehot = jax.nn.one_hot(batch['label'], logits.shape[-1])
-            return common.softmax_cross_entropy(logits, onehot)
+            return (common.softmax_cross_entropy(logits, onehot)
+                    + moe_aux_weight * aux)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
@@ -90,7 +106,8 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
           tokenizer: Optional[WordPieceTokenizer] = None,
           texts=None, labels=None, verbose: bool = True,
           seq_bucket: bool = True, mesh_pipe: int = 0,
-          microbatches: int = 2, seq_parallel: bool = False):
+          microbatches: int = 2, seq_parallel: bool = False,
+          experts: int = 0):
     log = print if verbose else (lambda *_a, **_k: None)
     if seq_parallel:
         # Megatron sequence parallelism: the residual stream shards its
@@ -105,6 +122,9 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
             raise SystemExit('--seq-parallel with --mesh-pipe is not '
                              'supported (the pipeline shard_map already '
                              'owns the model axis inside stages)')
+    if experts > 0 and mesh_pipe > 1:
+        raise SystemExit('--experts with --mesh-pipe is not supported '
+                         '(the pipeline stage apply is dense-FFN only)')
     if texts is None:
         texts, labels = data.load_text_dataset(csv_path, fold_labels=False,
                                                verbose=verbose)
@@ -153,6 +173,11 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
     model_kwargs = dict(model_kwargs or {})
     if seq_parallel:
         model_kwargs.setdefault('seq_spec', ('data', 'model'))
+    if experts > 0:
+        model_kwargs.setdefault('num_experts', experts)
+        if mesh_model > 1:
+            # expert parallelism: the expert bank shards over 'model'
+            model_kwargs.setdefault('ep_axis', 'model')
     model = BertForSequenceClassification(**model_kwargs)
     variables = init_from_pretrained(model, pretrained_dir, seed)
 
@@ -186,7 +211,9 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
     import contextlib
     # seq_spec constraints name mesh axes with bare PartitionSpecs, which
     # resolve against the ambient mesh at trace time
-    amb = (jax.sharding.set_mesh(mesh) if model.seq_spec is not None
+    amb = (jax.sharding.set_mesh(mesh)
+           if mesh is not None and (model.seq_spec is not None
+                                    or model.ep_axis is not None)
            else contextlib.nullcontext())
     with amb:
         state, best_vars, history = common.fit(
@@ -214,6 +241,9 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
            'max_position_embeddings': model.max_position,
            'type_vocab_size': model.type_vocab_size,
            'num_labels': model.num_classes}
+    if model.num_experts > 0:
+        cfg['num_experts'] = model.num_experts
+        cfg['moe_capacity_factor'] = model.moe_capacity_factor
     with open(os.path.join(models_dir, 'config.json'), 'w') as f:
         json.dump(cfg, f, indent=2)
     vocab_out = os.path.join(models_dir, 'vocab.txt')
@@ -252,6 +282,12 @@ def main(argv=None):
     p.add_argument('--microbatches', type=int, default=2,
                    help='pipeline microbatches per step (with '
                         '--mesh-pipe; batch must split evenly)')
+    p.add_argument('--experts', type=int, default=0,
+                   help='Mixture-of-Experts FFN: swap every encoder '
+                        'layer\'s dense FFN for N top-1-routed experts '
+                        '(models/moe.py; with --mesh-model > 1 the '
+                        'expert bank shards over the model axis — '
+                        'expert parallelism)')
     p.add_argument('--seq-parallel', action='store_true',
                    help='Megatron sequence parallelism: shard the '
                         'residual stream\'s sequence dim over the '
@@ -272,7 +308,8 @@ def main(argv=None):
           args.mesh_data, args.mesh_model,
           model_kwargs={'dtype': jnp.bfloat16} if args.bf16 else None,
           seq_bucket=not args.no_seq_bucket, mesh_pipe=args.mesh_pipe,
-          microbatches=args.microbatches, seq_parallel=args.seq_parallel)
+          microbatches=args.microbatches, seq_parallel=args.seq_parallel,
+          experts=args.experts)
 
 
 if __name__ == '__main__':

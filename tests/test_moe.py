@@ -1,0 +1,160 @@
+"""MoE FFN (models/moe.py) + expert parallelism tests on the virtual
+CPU mesh. The reference has no MoE — this is the TPU-scale extension
+documented in PARITY.md; tests pin the Switch/GShard semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mec_tpu.models.bert import BertForSequenceClassification
+from mec_tpu.models.moe import MoEFFN
+from mec_tpu.parallel import (batch_sharding, make_mesh, replicated,
+                              shard_variables)
+
+
+def test_moe_single_expert_matches_dense_ffn():
+    """E=1 with ample capacity routes every token through the one expert
+    with gate 1.0 — identical to a plain dense FFN with those weights."""
+    H, F = 8, 16
+    moe = MoEFFN(hidden_size=H, intermediate_size=F, num_experts=1,
+                 capacity_factor=1.0)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, H), jnp.float32)
+    variables = moe.init(jax.random.PRNGKey(0), x)
+    y = moe.apply(variables, x)
+
+    p = variables['params']
+    dense = jnp.dot(x, p['wi'][0]) + p['bi'][0]
+    dense = jax.nn.gelu(dense, approximate=False)
+    dense = jnp.dot(dense, p['wo'][0]) + p['bo'][0]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(dense),
+                               atol=1e-5)
+
+
+def test_moe_over_capacity_tokens_drop_to_zero():
+    """Tokens past an expert's capacity contribute 0 (the caller's
+    residual passes them through — Switch semantics)."""
+    H, F = 4, 8
+    # capacity_factor tiny -> C = max(1, int(cf*T/E)) = 1: with one
+    # expert, only the first token is processed
+    moe = MoEFFN(hidden_size=H, intermediate_size=F, num_experts=1,
+                 capacity_factor=1e-6)
+    x = jnp.ones((1, 6, H), jnp.float32)
+    variables = moe.init(jax.random.PRNGKey(0), x)
+    y = np.asarray(moe.apply(variables, x))
+    assert np.abs(y[0, 0]).max() > 0          # first token processed
+    np.testing.assert_array_equal(y[0, 1:], 0)  # rest dropped
+
+
+def test_moe_bert_forward_and_aux_loss():
+    model = BertForSequenceClassification(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, max_position=32, num_experts=4)
+    ids = jnp.ones((2, 8), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids, ids)
+    # expert bank exists per layer
+    assert variables['params']['layer_0']['moe']['wi'].shape == (4, 32, 64)
+    # plain apply (sow into a non-mutable collection is a no-op)
+    logits, cls = model.apply(variables, ids, ids)
+    assert np.isfinite(np.asarray(logits)).all()
+    # mutable apply exposes the load-balancing losses, one per layer
+    (_logits, _cls), mut = model.apply(variables, ids, ids,
+                                       mutable=['losses'])
+    aux = [float(v) for v in jax.tree_util.tree_leaves(mut['losses'])]
+    assert len(aux) == 2
+    assert all(np.isfinite(a) and a > 0 for a in aux)
+
+
+def test_moe_expert_parallel_matches_replicated():
+    """EP-sharded forward (experts over 'model', partition.py moe rules)
+    == unsharded forward."""
+    kw = dict(vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+              intermediate_size=64, max_position=32, num_experts=4)
+    base = BertForSequenceClassification(**kw)
+    ep = BertForSequenceClassification(ep_axis='model', **kw)
+
+    ids = np.arange(4 * 8, dtype=np.int32).reshape(4, 8) % 64
+    mask = np.ones((4, 8), np.int32)
+    mask[:, 6:] = 0
+    variables = base.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                          jnp.asarray(mask))
+    ref_logits, _ = base.apply(variables, jnp.asarray(ids),
+                               jnp.asarray(mask))
+
+    mesh = make_mesh(data=2, model=4)
+    sharded = shard_variables(mesh, variables['params'])
+    # the expert bank is actually expert-sharded
+    from jax.sharding import PartitionSpec as P
+    assert sharded['layer_0']['moe']['wi'].sharding.spec == \
+        P('model', None, None)
+    assert sharded['layer_0']['moe']['router']['kernel'].sharding.spec \
+        == P()
+    fwd = jax.jit(lambda p, i, m: ep.apply({'params': p}, i, m))
+    with jax.sharding.set_mesh(mesh):
+        logits, _ = fwd(sharded,
+                        jax.device_put(ids, batch_sharding(mesh)),
+                        jax.device_put(mask, batch_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=2e-5)
+
+
+def test_moe_trainer_end_to_end(tmp_path):
+    """--experts trains, adds the aux loss, and saves a servable config
+    that round-trips through model_kwargs_from_config."""
+    import json
+
+    from mec_tpu.convert.hf_bert import model_kwargs_from_config
+    from mec_tpu.text.wordpiece import WordPieceTokenizer
+    from mec_tpu.training.train_text_bert import train
+
+    vocab = {t: i for i, t in enumerate(
+        ['[PAD]', '[UNK]', '[CLS]', '[SEP]', 'happy', 'sad', 'day'])}
+    texts = ['happy happy day', 'sad sad day'] * 8
+    labels = [0, 1] * 8
+    best_vars, history = train(
+        '', texts=texts, labels=labels, verbose=False, epochs=1,
+        batch_size=4, experts=2, models_dir=str(tmp_path),
+        tokenizer=WordPieceTokenizer(vocab),
+        model_kwargs=dict(vocab_size=16, hidden_size=16, num_layers=1,
+                          num_heads=2, intermediate_size=32,
+                          max_position=64))
+    assert 'moe' in best_vars['params']['layer_0']
+    cfg = json.load(open(tmp_path / 'config.json'))
+    assert cfg['num_experts'] == 2
+    kwargs = model_kwargs_from_config(cfg)
+    assert kwargs['num_experts'] == 2
+    # the saved artifact reloads into a model built from that config
+    model = BertForSequenceClassification(**kwargs)
+    ids = jnp.ones((1, 8), jnp.int32)
+    logits, _ = model.apply(best_vars, ids, ids)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_moe_artifact_serves_through_engine(tmp_path):
+    """A --experts-trained BERT artifact loads and serves through the
+    EmotionEngine text path (config.json carries num_experts; the
+    engine rebuilds the MoE model from it)."""
+    from mec_tpu.serving.engine import EmotionEngine
+    from mec_tpu.text.wordpiece import WordPieceTokenizer
+    from mec_tpu.training.train_text_bert import train
+
+    vocab = {t: i for i, t in enumerate(
+        ['[PAD]', '[UNK]', '[CLS]', '[SEP]', 'happy', 'sad', 'day'])}
+    texts = ['happy happy day', 'sad sad day'] * 8
+    labels = [0, 1] * 8
+    bert_dir = tmp_path / 'bert_model'
+    train('', texts=texts, labels=labels, verbose=False, epochs=2,
+          batch_size=4, experts=2, models_dir=str(bert_dir),
+          tokenizer=WordPieceTokenizer(vocab),
+          model_kwargs=dict(vocab_size=16, hidden_size=16, num_layers=1,
+                            num_heads=2, intermediate_size=32,
+                            max_position=64))
+    engine = EmotionEngine(models_dir=str(tmp_path))
+    assert engine.bert is not None
+    assert engine.bert['kwargs'].get('num_experts') == 2
+    out = engine.predict_texts(['happy happy day'])
+    probs = out[0]['all_probabilities']
+    assert len(probs) == 7
+    assert abs(sum(probs) - 1.0) < 1e-3
+    # the MoE graph (not the keyword heuristic) produced this: the
+    # heuristic emits exactly 0.9/low-split vectors, the model does not
+    assert not np.isclose(out[0]['confidence'], 0.9, atol=1e-6)
