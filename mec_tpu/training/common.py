@@ -76,23 +76,38 @@ def adamw_with_clip(lr, weight_decay: float = 0.01, clipnorm: float = 1.0,
             learning_rate=lr, weight_decay=weight_decay))
 
 
+def _inner_opt_state(opt_state):
+    """Descend through optax.MultiSteps wrappers (gradient accumulation)
+    to the underlying chain state."""
+    while hasattr(opt_state, 'inner_opt_state'):
+        opt_state = opt_state.inner_opt_state
+    return opt_state
+
+
 def get_lr(state: TrainState) -> float:
     """Current injected learning rate (for logging / plateau logic)."""
-    for sub in state.opt_state:
+    for sub in _inner_opt_state(state.opt_state):
         if hasattr(sub, 'hyperparams') and 'learning_rate' in sub.hyperparams:
             return float(sub.hyperparams['learning_rate'])
     return float('nan')
 
 
 def set_lr(state: TrainState, lr: float) -> TrainState:
-    new_opt = []
-    for sub in state.opt_state:
-        if hasattr(sub, 'hyperparams') and 'learning_rate' in sub.hyperparams:
-            hp = dict(sub.hyperparams)
-            hp['learning_rate'] = jnp.asarray(lr, jnp.float32)
-            sub = sub._replace(hyperparams=hp)
-        new_opt.append(sub)
-    return state.replace(opt_state=tuple(new_opt))
+    def fix(opt_state):
+        if hasattr(opt_state, 'inner_opt_state'):
+            return opt_state._replace(
+                inner_opt_state=fix(opt_state.inner_opt_state))
+        new_opt = []
+        for sub in opt_state:
+            if (hasattr(sub, 'hyperparams')
+                    and 'learning_rate' in sub.hyperparams):
+                hp = dict(sub.hyperparams)
+                hp['learning_rate'] = jnp.asarray(lr, jnp.float32)
+                sub = sub._replace(hyperparams=hp)
+            new_opt.append(sub)
+        return tuple(new_opt)
+
+    return state.replace(opt_state=fix(state.opt_state))
 
 
 def softmax_cross_entropy(logits: jnp.ndarray, onehot: jnp.ndarray

@@ -107,7 +107,7 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
           texts=None, labels=None, verbose: bool = True,
           seq_bucket: bool = True, mesh_pipe: int = 0,
           microbatches: int = 2, seq_parallel: bool = False,
-          experts: int = 0):
+          experts: int = 0, grad_accum: int = 1):
     log = print if verbose else (lambda *_a, **_k: None)
     if seq_parallel:
         # Megatron sequence parallelism: the residual stream shards its
@@ -181,7 +181,10 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
     model = BertForSequenceClassification(**model_kwargs)
     variables = init_from_pretrained(model, pretrained_dir, seed)
 
-    steps_per_epoch = max(1, len(tr) // batch_size)
+    grad_accum = max(1, int(grad_accum))
+    # schedules count OPTIMIZER updates; with accumulation there are
+    # 1/grad_accum as many of those as micro-steps
+    steps_per_epoch = max(1, len(tr) // batch_size // grad_accum)
     total_steps = steps_per_epoch * epochs
     # 10% linear warmup then linear decay to 0 (HF get_linear_schedule_with_warmup)
     warmup_steps = max(1, total_steps // 10)
@@ -190,6 +193,16 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
                                   max(1, total_steps - warmup_steps))
     lr = optax.join_schedules([warmup, decay], [warmup_steps])
     tx = common.adamw_with_clip(lr, weight_decay=0.01, clipnorm=1.0)
+    if grad_accum > 1:
+        # gradient accumulation: MultiSteps averages grads over
+        # grad_accum micro-batches, then applies ONE AdamW update —
+        # exactly a batch_size*grad_accum step without the activation
+        # memory (the usual lever when a long-seq bf16 batch would
+        # spill VMEM/HBM)
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+        log(f'gradient accumulation: {grad_accum} micro-batches of '
+            f'{batch_size} per optimizer update (effective batch '
+            f'{batch_size * grad_accum})')
     state = common.TrainState.create(variables, tx)
 
     mesh = None
@@ -282,6 +295,10 @@ def main(argv=None):
     p.add_argument('--microbatches', type=int, default=2,
                    help='pipeline microbatches per step (with '
                         '--mesh-pipe; batch must split evenly)')
+    p.add_argument('--grad-accum', type=int, default=1,
+                   help='accumulate gradients over K micro-batches '
+                        'before each optimizer update (optax.MultiSteps;'
+                        ' effective batch = batch-size * K)')
     p.add_argument('--experts', type=int, default=0,
                    help='Mixture-of-Experts FFN: swap every encoder '
                         'layer\'s dense FFN for N top-1-routed experts '
@@ -309,7 +326,7 @@ def main(argv=None):
           model_kwargs={'dtype': jnp.bfloat16} if args.bf16 else None,
           seq_bucket=not args.no_seq_bucket, mesh_pipe=args.mesh_pipe,
           microbatches=args.microbatches, seq_parallel=args.seq_parallel,
-          experts=args.experts)
+          experts=args.experts, grad_accum=args.grad_accum)
 
 
 if __name__ == '__main__':

@@ -354,3 +354,77 @@ def test_image_trainer_bf16(models_dir):
     leaves = jax.tree.leaves(best['params'])
     assert all(x.dtype == jnp.float32 for x in leaves)
     assert np.isfinite(hist['phase2']['val_acc'][-1])
+
+
+def test_grad_accum_matches_full_batch():
+    """optax.MultiSteps(k=2) over two half-batches == one full-batch
+    AdamW step (grads are mean-reduced, so the averaged accumulation is
+    exact), and the LR helpers see through the wrapper."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mec_tpu.models.bert import BertForSequenceClassification
+    from mec_tpu.training.train_text_bert import make_steps
+
+    model = BertForSequenceClassification(
+        vocab_size=32, hidden_size=16, num_layers=1, num_heads=2,
+        intermediate_size=32, max_position=32, dropout_rate=0.0)
+    dummy = jnp.zeros((1, 8), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy)
+    train_step, _ = make_steps(model)
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 32, (8, 8)).astype(np.int32)
+    mask = np.ones((8, 8), np.int32)
+    labels = rng.randint(0, 7, (8,)).astype(np.int32)
+    full = {'ids': ids, 'mask': mask, 'label': labels}
+    halves = [{k: v[:4] for k, v in full.items()},
+              {k: v[4:] for k, v in full.items()}]
+
+    # SGD makes the comparison exact (the update is linear in the
+    # gradient; Adam's g/sqrt(v) would amplify fp summation-order noise
+    # on near-zero gradient entries into ~1e-4 param deltas)
+    state_full = common.TrainState.create(variables, optax.sgd(0.1))
+    state_full, _ = train_step(state_full, full, jax.random.PRNGKey(1))
+
+    tx_acc = optax.MultiSteps(optax.sgd(0.1), every_k_schedule=2)
+    state_acc = common.TrainState.create(variables, tx_acc)
+    for h in halves:
+        state_acc, _ = train_step(state_acc, h, jax.random.PRNGKey(1))
+
+    for a, b in zip(jax.tree_util.tree_leaves(state_full.params),
+                    jax.tree_util.tree_leaves(state_acc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+    # get_lr/set_lr descend through the MultiSteps wrapper (the real
+    # trainer wraps adamw_with_clip)
+    state_lr = common.TrainState.create(
+        variables, optax.MultiSteps(
+            common.adamw_with_clip(1e-3, weight_decay=0.01, clipnorm=1.0),
+            every_k_schedule=2))
+    assert abs(common.get_lr(state_lr) - 1e-3) < 1e-9
+    state_lr = common.set_lr(state_lr, 5e-4)
+    assert abs(common.get_lr(state_lr) - 5e-4) < 1e-9
+
+
+def test_bert_trainer_grad_accum(models_dir):
+    """--grad-accum plumbs through the trainer end-to-end."""
+    from mec_tpu.text.wordpiece import WordPieceTokenizer
+    from mec_tpu.training import train_text_bert
+    texts = np.array(['happy day', 'sad news'] * 8, dtype=object)
+    labels = np.array([0, 1] * 8, dtype=np.int32)
+    vocab = {'[PAD]': 0, '[UNK]': 1, '[CLS]': 2, '[SEP]': 3}
+    for w in set(' '.join(map(str, texts)).split()):
+        vocab.setdefault(w, len(vocab))
+    bert_dir = os.path.join(models_dir, 'bert_ga')
+    train_text_bert.train(
+        csv_path=None, texts=texts, labels=labels, epochs=1, batch_size=4,
+        max_length=16, models_dir=bert_dir,
+        tokenizer=WordPieceTokenizer(vocab), grad_accum=2,
+        model_kwargs=dict(vocab_size=len(vocab), hidden_size=16,
+                          num_layers=1, num_heads=2, intermediate_size=32,
+                          max_position=32),
+        verbose=False)
+    assert os.path.exists(os.path.join(bert_dir, 'bert_model.mecp'))
