@@ -91,7 +91,8 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
           mesh_data: int = 0, seed: int = 42, augment: bool = True,
           imgs: Optional[np.ndarray] = None,
           labels: Optional[np.ndarray] = None, verbose: bool = True,
-          bf16: bool = False, arch: str = 'resnet50'):
+          bf16: bool = False, arch: str = 'resnet50',
+          grad_accum: int = 1):
     log = print if verbose else (lambda *_a, **_k: None)
     if img_size % 2:
         raise SystemExit(f'--img-size {img_size} must be even: serving '
@@ -135,9 +136,23 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
     mesh = make_mesh(data=mesh_data) if mesh_data > 1 else None
     train_step, eval_step = make_steps(model)
 
+    grad_accum = max(1, int(grad_accum))
+    if grad_accum > 1:
+        # gradient accumulation: K micro-batches average into one AdamW
+        # update — an effective batch of batch_size*K without the
+        # activation memory (ResNet50 activations dominate HBM here)
+        log(f'gradient accumulation: {grad_accum} micro-batches of '
+            f'{batch_size} per optimizer update (effective batch '
+            f'{batch_size * grad_accum})')
+
+    def accum(tx):
+        return (optax.MultiSteps(tx, every_k_schedule=grad_accum)
+                if grad_accum > 1 else tx)
+
     # Phase 1: frozen backbone, head at 10x LR (reference :179-219)
     log('\nPhase 1: training classifier head (backbone frozen)')
-    tx1 = make_tx(learning_rate, learning_rate * 10, freeze_backbone=True)
+    tx1 = accum(make_tx(learning_rate, learning_rate * 10,
+                        freeze_backbone=True))
     state = common.TrainState.create(
         {'params': variables['params'],
          'batch_stats': variables['batch_stats']}, tx1)
@@ -152,11 +167,13 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
     hist2 = {'val_acc': [0.0]}
     if remaining:
         log('\nPhase 2: fine-tuning all layers')
-        steps = max(1, len(tr) // batch_size) * remaining
+        # the cosine schedule counts OPTIMIZER updates; accumulation
+        # makes 1/grad_accum as many of those as micro-steps
+        steps = max(1, len(tr) // batch_size // grad_accum) * remaining
         sched = optax.cosine_decay_schedule(learning_rate, steps)
         # adamw_with_clip injects hyperparams so get_lr logs the live
         # cosine rate instead of 'lr: nan'
-        tx2 = common.adamw_with_clip(sched, weight_decay=0.01)
+        tx2 = accum(common.adamw_with_clip(sched, weight_decay=0.01))
         state = common.TrainState.create(
             {'params': best_vars['params'],
              'batch_stats': best_vars['batch_stats']}, tx2)
@@ -201,6 +218,10 @@ def main(argv=None):
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 compute (params stay float32): 3.7x '
                         'step rate on the v5e (13.9 vs 51 ms at batch 32)')
+    p.add_argument('--grad-accum', type=int, default=1,
+                   help='accumulate gradients over K micro-batches '
+                        'before each optimizer update (optax.MultiSteps;'
+                        ' effective batch = batch-size * K)')
     p.add_argument('--arch', default='resnet50',
                    choices=('resnet50', 'mobilenet_v2'),
                    help='resnet50 = the reference code; mobilenet_v2 = '
@@ -208,7 +229,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     train(args.data_root, args.img_size, args.batch_size, args.epochs,
           args.learning_rate, args.phase1_epochs, args.models_dir,
-          args.mesh_data, bf16=args.bf16, arch=args.arch)
+          args.mesh_data, bf16=args.bf16, arch=args.arch,
+          grad_accum=args.grad_accum)
 
 
 if __name__ == '__main__':

@@ -409,6 +409,23 @@ def test_grad_accum_matches_full_batch():
     assert abs(common.get_lr(state_lr) - 5e-4) < 1e-9
 
 
+def test_image_trainer_grad_accum(models_dir):
+    """--grad-accum plumbs through both image-trainer phases (MultiSteps
+    around the multi_transform freeze chain in phase 1 and the cosine
+    schedule in phase 2)."""
+    from mec_tpu.training import train_image
+    rng = np.random.RandomState(2)
+    imgs = rng.randint(0, 255, (28, 64, 64, 3), np.uint8)
+    labels = (np.arange(28) % 7).astype(np.int32)
+    d = os.path.join(models_dir, 'img_ga')
+    best, hist = train_image.train(
+        data_root=None, img_size=64, batch_size=8, epochs=2,
+        phase1_epochs=1, imgs=imgs, labels=labels, models_dir=d,
+        verbose=False, grad_accum=2)
+    assert os.path.exists(os.path.join(d, 'image_model.mecp'))
+    assert np.isfinite(hist['phase2']['val_acc'][-1])
+
+
 def test_bert_trainer_grad_accum(models_dir):
     """--grad-accum plumbs through the trainer end-to-end."""
     from mec_tpu.text.wordpiece import WordPieceTokenizer
