@@ -139,6 +139,13 @@ class BertForSequenceClassification(nn.Module):
     num_experts: int = 0
     moe_capacity_factor: float = 1.25
     ep_axis: Optional[str] = None
+    # Rematerialization (jax.checkpoint per encoder layer): the backward
+    # pass recomputes each layer's activations instead of keeping all
+    # num_layers of them live in HBM — activation memory drops from
+    # O(num_layers) to O(1) layers (+ the recompute FLOPs, ~33% of a
+    # step). The standard lever for long-sequence / large-batch
+    # fine-tuning; train-time only in effect (eval has no backward).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
@@ -170,8 +177,12 @@ class BertForSequenceClassification(nn.Module):
         attn_bias = ((1.0 - attention_mask.astype(jnp.float32)) * neg
                      ).astype(self.dtype)
 
+        # nn.remat preserves the lifted module's param structure, so
+        # layer_{i} names (and every converter/TP partition rule keyed
+        # on them) are unchanged
+        layer_cls = nn.remat(BertLayer) if self.remat else BertLayer
         for i in range(self.num_layers):
-            hidden = BertLayer(self.hidden_size, self.num_heads,
+            hidden = layer_cls(self.hidden_size, self.num_heads,
                                self.intermediate_size, self.dtype,
                                self.gelu_approximate, self.seq_spec,
                                num_experts=self.num_experts,

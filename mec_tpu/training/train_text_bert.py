@@ -107,7 +107,7 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
           texts=None, labels=None, verbose: bool = True,
           seq_bucket: bool = True, mesh_pipe: int = 0,
           microbatches: int = 2, seq_parallel: bool = False,
-          experts: int = 0, grad_accum: int = 1):
+          experts: int = 0, grad_accum: int = 1, remat: bool = False):
     log = print if verbose else (lambda *_a, **_k: None)
     if seq_parallel:
         # Megatron sequence parallelism: the residual stream shards its
@@ -178,6 +178,14 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
         if mesh_model > 1:
             # expert parallelism: the expert bank shards over 'model'
             model_kwargs.setdefault('ep_axis', 'model')
+    if remat:
+        # activation rematerialization (jax.checkpoint per encoder
+        # layer, models/bert.py): O(1)-layers activation HBM for ~33%
+        # recompute — combine with --grad-accum for large effective
+        # batches at long sequence lengths
+        model_kwargs.setdefault('remat', True)
+        log('rematerialization: encoder layer activations recomputed '
+            'in the backward pass (jax.checkpoint)')
     model = BertForSequenceClassification(**model_kwargs)
     variables = init_from_pretrained(model, pretrained_dir, seed)
 
@@ -299,6 +307,10 @@ def main(argv=None):
                    help='accumulate gradients over K micro-batches '
                         'before each optimizer update (optax.MultiSteps;'
                         ' effective batch = batch-size * K)')
+    p.add_argument('--remat', action='store_true',
+                   help='rematerialize encoder-layer activations in the '
+                        'backward pass (jax.checkpoint): O(1)-layers '
+                        'activation memory for ~33%% recompute')
     p.add_argument('--experts', type=int, default=0,
                    help='Mixture-of-Experts FFN: swap every encoder '
                         'layer\'s dense FFN for N top-1-routed experts '
@@ -326,7 +338,8 @@ def main(argv=None):
           model_kwargs={'dtype': jnp.bfloat16} if args.bf16 else None,
           seq_bucket=not args.no_seq_bucket, mesh_pipe=args.mesh_pipe,
           microbatches=args.microbatches, seq_parallel=args.seq_parallel,
-          experts=args.experts, grad_accum=args.grad_accum)
+          experts=args.experts, grad_accum=args.grad_accum,
+          remat=args.remat)
 
 
 if __name__ == '__main__':

@@ -409,6 +409,67 @@ def test_grad_accum_matches_full_batch():
     assert abs(common.get_lr(state_lr) - 5e-4) < 1e-9
 
 
+def test_bert_remat_exact():
+    """remat=True (jax.checkpoint per encoder layer) preserves the
+    param structure (layer_{i} names — converters/TP rules key on them)
+    and produces bit-identical loss and gradients; only the backward's
+    memory/recompute schedule changes."""
+    import jax
+    import jax.numpy as jnp
+
+    from mec_tpu.models.bert import BertForSequenceClassification
+
+    kw = dict(vocab_size=32, hidden_size=16, num_layers=2, num_heads=2,
+              intermediate_size=32, max_position=32, dropout_rate=0.0)
+    base = BertForSequenceClassification(**kw)
+    rem = BertForSequenceClassification(remat=True, **kw)
+    dummy = jnp.zeros((1, 8), jnp.int32)
+    variables = base.init(jax.random.PRNGKey(0), dummy, dummy)
+    assert (jax.tree_util.tree_structure(
+                rem.init(jax.random.PRNGKey(0), dummy, dummy))
+            == jax.tree_util.tree_structure(variables))
+
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, 32, (4, 8)), jnp.int32)
+    mask = jnp.ones((4, 8), jnp.int32)
+    labels = jnp.asarray(rng.randint(0, 7, (4,)), jnp.int32)
+
+    def loss_fn(model):
+        def f(params):
+            logits, _ = model.apply({'params': params}, ids, mask)
+            onehot = jax.nn.one_hot(labels, logits.shape[-1])
+            return common.softmax_cross_entropy(logits, onehot)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_fn(base))(variables['params'])
+    l1, g1 = jax.value_and_grad(loss_fn(rem))(variables['params'])
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bert_trainer_remat(models_dir):
+    """--remat plumbs through the trainer end-to-end."""
+    from mec_tpu.text.wordpiece import WordPieceTokenizer
+    from mec_tpu.training import train_text_bert
+    texts = np.array(['happy day', 'sad news'] * 8, dtype=object)
+    labels = np.array([0, 1] * 8, dtype=np.int32)
+    vocab = {'[PAD]': 0, '[UNK]': 1, '[CLS]': 2, '[SEP]': 3}
+    for w in set(' '.join(map(str, texts)).split()):
+        vocab.setdefault(w, len(vocab))
+    bert_dir = os.path.join(models_dir, 'bert_remat')
+    train_text_bert.train(
+        csv_path=None, texts=texts, labels=labels, epochs=1, batch_size=4,
+        max_length=16, models_dir=bert_dir,
+        tokenizer=WordPieceTokenizer(vocab), remat=True,
+        model_kwargs=dict(vocab_size=len(vocab), hidden_size=16,
+                          num_layers=1, num_heads=2, intermediate_size=32,
+                          max_position=32),
+        verbose=False)
+    assert os.path.exists(os.path.join(bert_dir, 'bert_model.mecp'))
+
+
 def test_image_trainer_grad_accum(models_dir):
     """--grad-accum plumbs through both image-trainer phases (MultiSteps
     around the multi_transform freeze chain in phase 1 and the cosine
