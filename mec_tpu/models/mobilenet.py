@@ -42,7 +42,9 @@ class InvertedResidual(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # `train` is positional (not keyword-only) so nn.remat's
+        # static_argnums can reach it
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
         bn = partial(nn.BatchNorm, use_running_average=not train,
                      momentum=0.9, epsilon=1e-5, dtype=self.dtype)
@@ -65,6 +67,8 @@ class InvertedResidual(nn.Module):
 class MobileNetV2EmotionModel(nn.Module):
     num_classes: int = 7
     dtype: jnp.dtype = jnp.float32
+    # jax.checkpoint per inverted-residual block (see resnet.py)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False
@@ -80,12 +84,14 @@ class MobileNetV2EmotionModel(nn.Module):
         x = conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                  name='conv_stem')(x)
         x = jax.nn.relu6(bn(name='bn_stem')(x))
+        block_cls = (nn.remat(InvertedResidual, static_argnums=(2,))
+                     if self.remat else InvertedResidual)
         idx, in_ch = 1, 32
         for t, c, n, s in INVERTED_RESIDUAL_CFG:
             for i in range(n):
-                x = InvertedResidual(in_ch, c, s if i == 0 else 1, t,
-                                     dtype=self.dtype,
-                                     name=f'block_{idx}')(x, train=train)
+                x = block_cls(in_ch, c, s if i == 0 else 1, t,
+                              dtype=self.dtype,
+                              name=f'block_{idx}')(x, train)
                 in_ch = c
                 idx += 1
         x = conv(1280, (1, 1), name='conv_head')(x)

@@ -33,7 +33,9 @@ class Bottleneck(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # `train` is positional (not keyword-only) so nn.remat's
+        # static_argnums can reach it
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
         bn = partial(nn.BatchNorm, use_running_average=not train,
                      momentum=0.9, epsilon=1e-5, dtype=self.dtype)
@@ -59,6 +61,12 @@ class ImageEmotionModel(nn.Module):
     num_classes: int = 7
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     dtype: jnp.dtype = jnp.float32
+    # Rematerialization (jax.checkpoint per bottleneck block): the
+    # backward recomputes block activations instead of holding all 16
+    # of them in HBM — the standard large-batch/high-res training lever.
+    # Param/batch_stats structure is unchanged (converters key on
+    # layer{s}_{b} names); train-time only in effect.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False
@@ -75,13 +83,18 @@ class ImageEmotionModel(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        # static_argnums=(2,) marks the `train` bool static for
+        # jax.checkpoint (in the lifted core_fn, arg 0 is the module
+        # scope and arg 1 is x)
+        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                     if self.remat else Bottleneck)
         for stage, n_blocks in enumerate(self.stage_sizes):
             features = 64 * (2 ** stage)
             for block in range(n_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
-                x = Bottleneck(features, stride=stride,
-                               downsample=(block == 0), dtype=self.dtype,
-                               name=f'layer{stage + 1}_{block}')(x, train=train)
+                x = block_cls(features, stride=stride,
+                              downsample=(block == 0), dtype=self.dtype,
+                              name=f'layer{stage + 1}_{block}')(x, train)
 
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
         # custom head (reference image_inference.py:59-65); dropouts are

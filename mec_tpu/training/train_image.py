@@ -92,7 +92,7 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
           imgs: Optional[np.ndarray] = None,
           labels: Optional[np.ndarray] = None, verbose: bool = True,
           bf16: bool = False, arch: str = 'resnet50',
-          grad_accum: int = 1):
+          grad_accum: int = 1, remat: bool = False):
     log = print if verbose else (lambda *_a, **_k: None)
     if img_size % 2:
         raise SystemExit(f'--img-size {img_size} must be even: serving '
@@ -120,14 +120,22 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
                     'label': d['label']}
     log(f'Training set: {len(tr)}  validation set: {len(va)}')
 
+    if remat:
+        # activation rematerialization (jax.checkpoint per block): the
+        # backward recomputes block activations instead of holding all
+        # of them in HBM — combine with --grad-accum for large
+        # effective batches at high resolution
+        log('rematerialization: block activations recomputed in the '
+            'backward pass (jax.checkpoint)')
     if arch == 'mobilenet_v2':
         # the README-advertised variant (reference README.md:13); ~13x
         # fewer FLOPs/image than ResNet50 — the fast image path
         from mec_tpu.models.mobilenet import MobileNetV2EmotionModel
         model = MobileNetV2EmotionModel(
-            dtype=jnp.bfloat16 if bf16 else jnp.float32)
+            dtype=jnp.bfloat16 if bf16 else jnp.float32, remat=remat)
     elif arch == 'resnet50':
-        model = ImageEmotionModel(dtype=jnp.bfloat16 if bf16 else jnp.float32)
+        model = ImageEmotionModel(dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                                  remat=remat)
     else:
         raise SystemExit(f'unknown --arch {arch}')
     variables = model.init(jax.random.PRNGKey(seed),
@@ -222,6 +230,10 @@ def main(argv=None):
                    help='accumulate gradients over K micro-batches '
                         'before each optimizer update (optax.MultiSteps;'
                         ' effective batch = batch-size * K)')
+    p.add_argument('--remat', action='store_true',
+                   help='rematerialize block activations in the '
+                        'backward pass (jax.checkpoint): O(1)-blocks '
+                        'activation memory for ~33%% recompute')
     p.add_argument('--arch', default='resnet50',
                    choices=('resnet50', 'mobilenet_v2'),
                    help='resnet50 = the reference code; mobilenet_v2 = '
@@ -230,7 +242,7 @@ def main(argv=None):
     train(args.data_root, args.img_size, args.batch_size, args.epochs,
           args.learning_rate, args.phase1_epochs, args.models_dir,
           args.mesh_data, bf16=args.bf16, arch=args.arch,
-          grad_accum=args.grad_accum)
+          grad_accum=args.grad_accum, remat=args.remat)
 
 
 if __name__ == '__main__':

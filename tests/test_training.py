@@ -449,6 +449,48 @@ def test_bert_remat_exact():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_image_remat_exact():
+    """remat=True on both image archs: same param/batch_stats tree,
+    bit-identical loss and gradients (only the backward's schedule
+    changes), eval forward untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from mec_tpu.models.mobilenet import MobileNetV2EmotionModel
+    from mec_tpu.models.resnet import ImageEmotionModel
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
+                    jnp.float32)
+    for base, rem in [
+            (ImageEmotionModel(stage_sizes=(1, 1)),
+             ImageEmotionModel(stage_sizes=(1, 1), remat=True)),
+            (MobileNetV2EmotionModel(),
+             MobileNetV2EmotionModel(remat=True))]:
+        v = base.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(
+                    rem.init(jax.random.PRNGKey(0), x))
+                == jax.tree_util.tree_structure(v))
+
+        def loss_fn(model):
+            def f(p):
+                (logits, _), _mut = model.apply(
+                    {'params': p, 'batch_stats': v['batch_stats']},
+                    x, train=True, mutable=['batch_stats'],
+                    rngs={'dropout': jax.random.PRNGKey(1)})
+                return logits.sum()
+            return f
+
+        l0, g0 = jax.value_and_grad(loss_fn(base))(v['params'])
+        l1, g1 = jax.value_and_grad(loss_fn(rem))(v['params'])
+        assert float(l0) == float(l1)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        e0, _ = base.apply(v, x)
+        e1, _ = rem.apply(v, x)
+        np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+
 def test_bert_trainer_remat(models_dir):
     """--remat plumbs through the trainer end-to-end."""
     from mec_tpu.text.wordpiece import WordPieceTokenizer
