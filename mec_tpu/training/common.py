@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import jax
@@ -243,6 +244,14 @@ def fit(state: TrainState,
     if mesh is not None:
         state = jax.device_put(state, repl)
 
+    # Donate the state pytree into every step: XLA writes the new
+    # params/opt-state into the old buffers instead of double-buffering
+    # them (saves ~(params + Adam m + v) of peak HBM — ~1.25 GB for
+    # BERT-base fp32). fit() owns the state from here on: the caller's
+    # pre-fit state/variables references are invalidated by the first
+    # step (trainers only use the returned state / best_vars).
+    train_step = jax.jit(train_step, donate_argnums=(0,))
+
     # One-dispatch epochs (single device): stack the epoch's full
     # batches and lax.scan the train step over them, so the whole inner
     # loop is ONE device dispatch instead of steps_per_epoch dispatches.
@@ -266,7 +275,9 @@ def fit(state: TrainState,
     def run_epoch_scanned(state, stacked, ep_key, steps):
         nonlocal epoch_scan
         if epoch_scan is None:
-            @jax.jit
+            # donate only the state (argnum 0) — the stacked batches are
+            # reused across iterations
+            @partial(jax.jit, donate_argnums=(0,))
             def _run(state, stacked, ep_key, steps):
                 def body(carry, xs):
                     batch, step = xs
@@ -281,7 +292,9 @@ def fit(state: TrainState,
         # (n_full, batch_size) shuffled row indices
         nonlocal epoch_gather
         if epoch_gather is None:
-            @jax.jit
+            # donate only the state — data_dev stays resident in HBM
+            # across epochs
+            @partial(jax.jit, donate_argnums=(0,))
             def _run(state, data_dev, idxs, ep_key, steps):
                 def body(carry, xs):
                     sel, step = xs
