@@ -77,6 +77,23 @@ def adamw_with_clip(lr, weight_decay: float = 0.01, clipnorm: float = 1.0,
             learning_rate=lr, weight_decay=weight_decay))
 
 
+def optimizer_total_steps(n_rows: int, batch_size: int, epochs: int,
+                          grad_accum: int = 1) -> int:
+    """Number of optimizer updates fit() will perform over a run — the
+    right horizon for LR schedules (optax schedules count UPDATES, and
+    optax.MultiSteps only advances the inner schedule on real updates).
+
+    Micro-steps are ceil-counted: fit() trains the ragged tail batch
+    too (true-shape on single device, padded under a mesh). The
+    division by grad_accum happens once over the whole run because
+    MultiSteps accumulation windows span epoch boundaries; flooring
+    per-epoch would undercount by up to (grad_accum-1) updates/epoch
+    and leave the schedule at 0 while real updates still arrive.
+    """
+    micro_per_epoch = max(1, -(-int(n_rows) // int(batch_size)))
+    return max(1, (micro_per_epoch * int(epochs)) // max(1, int(grad_accum)))
+
+
 def _inner_opt_state(opt_state):
     """Descend through optax.MultiSteps wrappers (gradient accumulation)
     to the underlying chain state."""

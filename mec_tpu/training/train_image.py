@@ -175,9 +175,11 @@ def train(data_root: str, img_size: int = 224, batch_size: int = 32,
     hist2 = {'val_acc': [0.0]}
     if remaining:
         log('\nPhase 2: fine-tuning all layers')
-        # the cosine schedule counts OPTIMIZER updates; accumulation
-        # makes 1/grad_accum as many of those as micro-steps
-        steps = max(1, len(tr) // batch_size // grad_accum) * remaining
+        # the cosine schedule counts OPTIMIZER updates (ceil-counted
+        # micro-steps incl. the ragged tail, / grad_accum across the
+        # whole phase — see common.optimizer_total_steps)
+        steps = common.optimizer_total_steps(len(tr), batch_size,
+                                             remaining, grad_accum)
         sched = optax.cosine_decay_schedule(learning_rate, steps)
         # adamw_with_clip injects hyperparams so get_lr logs the live
         # cosine rate instead of 'lr: nan'

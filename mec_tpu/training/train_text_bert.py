@@ -190,10 +190,11 @@ def train(csv_path: str, epochs: int = 5, batch_size: int = 16,
     variables = init_from_pretrained(model, pretrained_dir, seed)
 
     grad_accum = max(1, int(grad_accum))
-    # schedules count OPTIMIZER updates; with accumulation there are
-    # 1/grad_accum as many of those as micro-steps
-    steps_per_epoch = max(1, len(tr) // batch_size // grad_accum)
-    total_steps = steps_per_epoch * epochs
+    # schedules count OPTIMIZER updates (ceil-counted micro-steps incl.
+    # the ragged tail, / grad_accum across the whole run — see
+    # common.optimizer_total_steps)
+    total_steps = common.optimizer_total_steps(len(tr), batch_size,
+                                               epochs, grad_accum)
     # 10% linear warmup then linear decay to 0 (HF get_linear_schedule_with_warmup)
     warmup_steps = max(1, total_steps // 10)
     warmup = optax.linear_schedule(0.0, learning_rate, warmup_steps)

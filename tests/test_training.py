@@ -449,6 +449,24 @@ def test_bert_remat_exact():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_optimizer_total_steps():
+    """LR-schedule horizon = actual optimizer updates: micro-steps are
+    ceil-counted (the ragged tail trains every epoch) and the
+    accumulation division spans the whole run (MultiSteps windows cross
+    epoch boundaries). Review finding: per-epoch floor division left
+    the schedule at 0 while real updates still arrived."""
+    # len(tr)=104, b=16, accum=2, epochs=5: 7 micro-steps/epoch (6 full
+    # + tail) = 35 micro -> 17 updates (the old code said 15)
+    assert common.optimizer_total_steps(104, 16, 5, 2) == 17
+    # no accumulation: ceil counts the tail (old floor said 6/epoch)
+    assert common.optimizer_total_steps(104, 16, 1) == 7
+    # accumulation window spanning epochs: 48 rows, b=16, accum=4 ->
+    # 3 micro/epoch, 5 epochs = 15 micro -> 3 updates
+    assert common.optimizer_total_steps(48, 16, 5, 4) == 3
+    # degenerate inputs clamp to 1
+    assert common.optimizer_total_steps(1, 16, 1, 8) == 1
+
+
 def test_image_remat_exact():
     """remat=True on both image archs: same param/batch_stats tree,
     bit-identical loss and gradients (only the backward's schedule
