@@ -55,9 +55,13 @@ def _usage() -> str:
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    if not argv or argv[0] in ('-h', '--help', 'help'):
+    if not argv:
+        # Error path (nothing to do): usage goes to stderr, exit 2.
+        print(_usage(), file=sys.stderr)
+        return 2
+    if argv[0] in ('-h', '--help', 'help'):
         print(_usage())
-        return 0 if argv else 2
+        return 0
     if argv[0] == '--version':
         from mec_tpu import __version__
         print(__version__)

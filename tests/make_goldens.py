@@ -101,9 +101,64 @@ def freeze_torchvision() -> str:
     return path
 
 
+def _arch_input(shape, seed=11):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+def freeze_arch_traces(force_oracle: bool = False) -> str:
+    """Seeded-weight per-stage activation traces of ResNet50 and
+    MobileNetV2 -> tests/goldens/arch_traces.npz.
+
+    The in-repo torch oracles are hand transcriptions of torchvision
+    (tests/torch_oracles.py) — the one untested link in the image-parity
+    chain (round-2 VERDICT item 8). This fixture pins their operator
+    graphs: weights come from tests.torch_oracles.seeded_state_dict (a
+    pure function of state_dict key names/shapes, identical across the
+    oracle and the real torchvision model), so the traces differ iff the
+    graphs differ — e.g. a wrong V1-vs-V1.5 downsample stride placement
+    (match: reference model_training/train_image_model.py:48-67 uses
+    torchvision resnet50).
+
+    In THIS env the fixture is written from the oracles (source=oracle);
+    run this script where torchvision installs and the same file is
+    overwritten from the real models (source=torchvision). The pinning
+    test (tests/test_model_parity.py::TestArchTraceFixture) always
+    asserts the oracles reproduce the fixture, so a torchvision-sourced
+    run falsifies any transcription error in one place.
+    """
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tests.torch_oracles import (OracleMobileNetV2, OracleResNet50,
+                                     mobilenet_v2_stage_trace,
+                                     resnet50_stage_trace,
+                                     seeded_state_dict)
+    source = 'oracle'
+    resnet, mobilenet = OracleResNet50(), OracleMobileNetV2()
+    if not force_oracle:
+        try:
+            import torchvision
+            resnet = torchvision.models.resnet50()
+            mobilenet = torchvision.models.mobilenet_v2()
+            source = f'torchvision-{torchvision.__version__}'
+        except ImportError:
+            pass
+    out = {'__source__': np.array(source)}
+    for tag, model, trace_fn in (
+            ('resnet50', resnet, resnet50_stage_trace),
+            ('mobilenet_v2', mobilenet, mobilenet_v2_stage_trace)):
+        model.load_state_dict(seeded_state_dict(model))
+        for name, shape, stats in trace_fn(model, _arch_input((2, 3, 64, 64))):
+            out[f'{tag}/{name}/shape'] = shape
+            out[f'{tag}/{name}/stats'] = stats
+    path = os.path.join(GOLDEN_DIR, 'arch_traces.npz')
+    np.savez(path, **out)
+    return path
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for fn in (freeze_librosa, freeze_torchvision):
+    for fn in (freeze_librosa, freeze_torchvision, freeze_arch_traces):
         try:
             print('wrote', fn())
         except ImportError as e:

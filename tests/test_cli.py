@@ -22,8 +22,12 @@ def test_help_lists_every_command(capsys):
 
 
 def test_no_args_prints_usage_and_fails(capsys):
+    # Error-path usage goes to stderr (ADVICE round 2): the empty
+    # invocation exits 2, so its usage text must not pollute stdout.
     assert cli.main([]) == 2
-    assert 'usage:' in capsys.readouterr().out
+    captured = capsys.readouterr()
+    assert 'usage:' in captured.err
+    assert captured.out == ''
 
 
 def test_version(capsys):

@@ -8,8 +8,77 @@ environment, so the ResNet50 is assembled here with torchvision's module
 naming (base.conv1, base.layerN.M.convK, base.fc.{1,4}).
 """
 
+import zlib
+
+import numpy as np
 import torch
 import torch.nn as nn
+
+
+def seeded_state_dict(model: nn.Module) -> dict:
+    """Deterministic weights as a pure function of (key name, shape).
+
+    Because the in-repo oracles reproduce torchvision's state_dict key
+    layout exactly, loading this dict into EITHER the oracle or the real
+    torchvision model yields identical parameters — so per-stage
+    activation traces differ iff the *operator graphs* differ (e.g. the
+    ResNet50 V1 vs V1.5 downsample stride placement, round-2 VERDICT
+    item 8)."""
+    out = {}
+    for key, v in model.state_dict().items():
+        rng = np.random.RandomState(zlib.crc32(key.encode()) % 2**32)
+        if key.endswith('num_batches_tracked'):
+            out[key] = torch.zeros_like(v)
+        elif key.endswith('running_var'):
+            out[key] = torch.from_numpy(
+                rng.uniform(0.5, 1.5, v.shape).astype(np.float32))
+        else:
+            out[key] = torch.from_numpy(
+                (rng.randn(*v.shape) * 0.05).astype(np.float32))
+    return out
+
+
+def _summarize(name, x):
+    a = x.detach().numpy().astype(np.float64)
+    return (name, np.array(a.shape, np.int64),
+            np.array([a.mean(), a.std(), np.abs(a).mean()], np.float64))
+
+
+def resnet50_stage_trace(model: nn.Module, x: np.ndarray):
+    """Per-stage (shape, [mean, std, absmean]) trace of a
+    torchvision-resnet50-shaped model under eval().
+
+    Works on both OracleResNet50 and torchvision.models.resnet50 (same
+    attribute names by construction)."""
+    model.eval()
+    rows = []
+    with torch.no_grad():
+        h = torch.from_numpy(x)
+        h = model.maxpool(model.relu(model.bn1(model.conv1(h))))
+        rows.append(_summarize('stem', h))
+        for name in ('layer1', 'layer2', 'layer3', 'layer4'):
+            h = getattr(model, name)(h)
+            rows.append(_summarize(name, h))
+        h = model.avgpool(h).flatten(1)
+        rows.append(_summarize('avgpool', h))
+        rows.append(_summarize('fc', model.fc(h)))
+    return rows
+
+
+def mobilenet_v2_stage_trace(model: nn.Module, x: np.ndarray):
+    """Per-features-block trace of a torchvision-mobilenet_v2-shaped
+    model (OracleMobileNetV2 or torchvision.models.mobilenet_v2)."""
+    model.eval()
+    rows = []
+    with torch.no_grad():
+        h = torch.from_numpy(x)
+        for i, block in enumerate(model.features):
+            h = block(h)
+            rows.append(_summarize(f'features.{i}', h))
+        h = h.mean([2, 3])
+        rows.append(_summarize('pool', h))
+        rows.append(_summarize('classifier', model.classifier(h)))
+    return rows
 
 
 def projection(d_in, d_out):
