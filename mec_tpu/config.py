@@ -204,6 +204,12 @@ class Config:
     # kept for other model/batch regimes. No effect in fp32 parity mode.
     BF16_PARAMS = _env_flag('MEC_BF16_PARAMS', False)
 
+    # bf16 serving: fold image-model BatchNorm into the conv
+    # kernels+biases at artifact load (ops/fold.fold_conv_bn) so no BN
+    # elementwise work runs per forward. fp32 parity mode ignores this
+    # (live batch_stats = exact reference eval semantics).
+    FOLD_BN = _env_flag('MEC_FOLD_BN', True)
+
     # Perf-mode host audio featurization: compute the 56-dim frontend on
     # the host (C++ single-pass, mec_tpu/native/audiofeat.cpp) and ship
     # 224 B of features per clip instead of the ~99 KB packed waveform.

@@ -40,14 +40,21 @@ class InvertedResidual(nn.Module):
     stride: int
     expand: int
     dtype: jnp.dtype = jnp.float32
+    # serve with BN pre-folded into conv kernels+biases
+    # (ops/fold.fold_conv_bn); inference-only
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # `train` is positional (not keyword-only) so nn.remat's
         # static_argnums can reach it
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
-        bn = partial(nn.BatchNorm, use_running_average=not train,
-                     momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
+        if self.fold_bn:
+            def bn(name):
+                return lambda h: h
+        else:
+            bn = partial(nn.BatchNorm, use_running_average=not train,
+                         momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         hidden = self.in_ch * self.expand
         out = x
         if self.expand != 1:
@@ -69,6 +76,9 @@ class MobileNetV2EmotionModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # jax.checkpoint per inverted-residual block (see resnet.py)
     remat: bool = False
+    # Inference-only: expects ops/fold.fold_conv_bn-transformed params
+    # (convs carry biases, no BatchNorm collections); see resnet.py
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False
@@ -77,9 +87,15 @@ class MobileNetV2EmotionModel(nn.Module):
 
         Returns (logits (B, 7), head_features (B, 512)).
         """
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
-        bn = partial(nn.BatchNorm, use_running_average=not train,
-                     momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        if self.fold_bn and train:
+            raise ValueError('fold_bn is inference-only')
+        conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
+        if self.fold_bn:
+            def bn(name):
+                return lambda h: h
+        else:
+            bn = partial(nn.BatchNorm, use_running_average=not train,
+                         momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         x = x.astype(self.dtype)
         x = conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                  name='conv_stem')(x)
@@ -90,7 +106,7 @@ class MobileNetV2EmotionModel(nn.Module):
         for t, c, n, s in INVERTED_RESIDUAL_CFG:
             for i in range(n):
                 x = block_cls(in_ch, c, s if i == 0 else 1, t,
-                              dtype=self.dtype,
+                              dtype=self.dtype, fold_bn=self.fold_bn,
                               name=f'block_{idx}')(x, train)
                 in_ch = c
                 idx += 1

@@ -31,14 +31,21 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    # serve with BN pre-folded into conv kernels+biases
+    # (ops/fold.fold_conv_bn); inference-only
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # `train` is positional (not keyword-only) so nn.remat's
         # static_argnums can reach it
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
-        bn = partial(nn.BatchNorm, use_running_average=not train,
-                     momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
+        if self.fold_bn:
+            def bn(name):
+                return lambda h: h
+        else:
+            bn = partial(nn.BatchNorm, use_running_average=not train,
+                         momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         identity = x
         out = conv(self.features, (1, 1), name='conv1')(x)
         out = bn(name='bn1')(out)
@@ -67,6 +74,10 @@ class ImageEmotionModel(nn.Module):
     # Param/batch_stats structure is unchanged (converters key on
     # layer{s}_{b} names); train-time only in effect.
     remat: bool = False
+    # Inference-only: expects ops/fold.fold_conv_bn-transformed params
+    # (convs carry biases, no BatchNorm collections). bf16 serving mode
+    # uses this — BN elementwise traffic is off the image hot path.
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False
@@ -75,11 +86,14 @@ class ImageEmotionModel(nn.Module):
 
         Returns (logits (B, 7), head_features (B, 512)).
         """
+        if self.fold_bn and train:
+            raise ValueError('fold_bn is inference-only')
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name='conv1')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
+                    use_bias=self.fold_bn, dtype=self.dtype, name='conv1')(x)
+        if not self.fold_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -94,6 +108,7 @@ class ImageEmotionModel(nn.Module):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 x = block_cls(features, stride=stride,
                               downsample=(block == 0), dtype=self.dtype,
+                              fold_bn=self.fold_bn,
                               name=f'layer{stage + 1}_{block}')(x, train)
 
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)

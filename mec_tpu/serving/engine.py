@@ -383,6 +383,26 @@ class EmotionEngine:
         # Measured NEGATIVE on the v5e (device step 3,263 -> 2,518
         # preds/s at batch 32 — see Config.BF16_PARAMS), so default off;
         # BN/LayerNorm statistics ('batch_stats') stay fp32 either way.
+        # bf16 serving mode folds every image-model (conv, BN) pair into
+        # the conv kernel + a bias at load (ops/fold.fold_conv_bn) — the
+        # image-path analogue of the speech DNN fold
+        # (ops/pallas_kernels.fold_batchnorm). Removes all BatchNorm
+        # elementwise traffic from the stage that dominates the fused
+        # tri-modal step. fp32 parity mode keeps live batch_stats
+        # (reference eval-mode semantics exactly,
+        # reference inference/image_inference.py:48-92).
+        self._image_folded = False
+        if (self.image is not None and Config.FOLD_BN
+                and self.compute_dtype == jnp.bfloat16):
+            try:
+                from mec_tpu.ops.fold import fold_conv_bn
+                self.image['variables'] = fold_conv_bn(
+                    self.image['variables'])
+                self._image_folded = True
+            except Exception as e:
+                log.warning('conv+BN fold unavailable, serving live '
+                            'batch_stats: %s', e)
+
         cast_bf16 = (self.compute_dtype == jnp.bfloat16
                      and Config.BF16_PARAMS)
 
@@ -472,9 +492,11 @@ class EmotionEngine:
             # README-advertised MobileNetV2 variant (models/mobilenet.py);
             # same 512-dim head feature, so fusion is unchanged
             from mec_tpu.models.mobilenet import MobileNetV2EmotionModel
-            image_model = MobileNetV2EmotionModel(dtype=self.compute_dtype)
+            image_model = MobileNetV2EmotionModel(
+                dtype=self.compute_dtype, fold_bn=self._image_folded)
         else:
-            image_model = ImageEmotionModel(dtype=self.compute_dtype)
+            image_model = ImageEmotionModel(dtype=self.compute_dtype,
+                                            fold_bn=self._image_folded)
         fusion_kwargs = (self.fusion or {}).get('config') or {}
         fusion_model = MultiModalFusionModel(**{
             k: v for k, v in fusion_kwargs.items()

@@ -39,3 +39,65 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import mec_tpu  # noqa: E402,F401  (applies the fp32 matmul-precision policy)
+
+
+# ----------------------------------------------------------------------
+# Two-tier suite (round-2 VERDICT item 6): every test measured >10 s on
+# this 1-core host (pytest --durations=40, 2026-08-19) is marked slow in
+# ONE place here — the fast gate is `pytest -m "not slow"` (~6 min), the
+# full run is the pre-commit/CI gate (~35 min). Matching is on nodeid
+# substrings so same-named tests in other modules stay unmarked.
+# ----------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_SLOW_NODEIDS = (
+    # image trainers (from-scratch backbones on CPU: 2-2.5 min each)
+    'test_mobilenet.py::test_trainer_mobilenet_two_phase',
+    'test_mobilenet.py::test_engine_serves_artifact_declared_48px',
+    'test_training.py::test_image_trainer_two_phase',
+    'test_training.py::test_image_trainer_bf16',
+    'test_training.py::test_image_trainer_grad_accum',
+    'test_training.py::test_image_remat_exact',
+    # scanned-epoch / checkpoint / trainer end-to-ends (15-65 s)
+    'test_training.py::test_fit_scan_matches_loop',
+    'test_training.py::test_fit_checkpoint_resume_midrun',
+    'test_training.py::test_checkpoint_resume',
+    'test_training.py::test_resume_with_no_new_best_keeps_checkpoint_best_vars',
+    'test_training.py::test_speech_trainer_end_to_end',
+    'test_training.py::test_speech_trainer_data_parallel',
+    'test_training.py::test_lstm_trainer_end_to_end',
+    'test_training.py::test_fusion_trainer_end_to_end',
+    'test_training.py::test_fusion_real_feature_extraction',
+    'test_training.py::test_trained_artifact_serves',
+    'test_training.py::test_bert_trainer_grad_accum',
+    'test_training.py::test_bert_trainer_seq_bucket_exact',
+    'test_training.py::test_bert_trainer_remat',
+    'test_training.py::test_bert_remat_exact',
+    'test_training.py::test_bert_trainer_tiny_with_tp',
+    # pipeline/MoE/SP parallel-training graphs compile whole-epoch scans
+    'test_pipeline.py::test_pipeline_grads_match_plain',
+    'test_pipeline.py::test_tp_pipeline_grads_match_plain',
+    'test_pipeline.py::test_pipeline_train_step_reduces_loss',
+    'test_pipeline.py::test_bert_trainer_mesh_pipe',
+    'test_pipeline.py::test_pipeline_bf16_ragged_grads_finite',
+    'test_moe.py::test_moe_trainer_end_to_end',
+    'test_moe.py::test_moe_artifact_serves_through_engine',
+    'test_parallel.py::test_seq_parallel_train_step_loss_matches',
+    # engine integration (multi-graph compiles per engine build)
+    'test_forest.py::TestEngineRFMode::test_trimodal_rf_fusion',
+    'test_forest.py::TestEngineRFMode::test_batch_matches_single',
+    'test_forest.py::TestEngineRFMode::test_rf_mode_without_artifact_degrades',
+    'test_inference.py::TestWireServing::test_trimodal_wire_decisions_match_fp32',
+    'test_inference.py::TestWireServing::test_host_audio_features_decisions_match_fp32',
+    'test_inference.py::TestLiveServing::test_trimodal_single_dispatch_matches_pieces',
+    'test_hardening.py::test_fusion_trainer_even_batch_split_no_tracer_leak',
+    'test_hardening.py::test_batch_degraded_image_skips_redecodes',
+    'test_pallas.py::test_full_frontend_pallas_path',
+    'test_perf_mode.py::test_bf16_speech_decisions_match_fp32',
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(nid in item.nodeid for nid in _SLOW_NODEIDS):
+            item.add_marker(pytest.mark.slow)

@@ -1,0 +1,109 @@
+"""Conv+BN folding parity (round-2 VERDICT item 2).
+
+bf16 serving folds every image-model (conv, BN) pair into the conv
+kernel + a bias at artifact load (ops/fold.fold_conv_bn) and serves
+with fold_bn=True. These tests pin the fold in fp32: the folded model
+must match the live-batch_stats model to the 1e-4 logit-parity budget
+(reference eval-mode semantics: inference/image_inference.py:48-92).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mec_tpu.ops.fold import fold_conv_bn
+
+
+def _random_stats(variables, seed=3):
+    """Realistic running statistics (init gives mean=0, var=1 — folding
+    those exercises nothing)."""
+    rng = np.random.RandomState(seed)
+    stats = jax.tree_util.tree_map(lambda x: np.asarray(x),
+                                   variables['batch_stats'])
+
+    def fill(tree):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                fill(v)
+            elif k == 'mean':
+                tree[k] = rng.randn(*v.shape).astype(np.float32) * 0.5
+            elif k == 'var':
+                tree[k] = rng.uniform(0.25, 2.0, v.shape).astype(np.float32)
+    fill(stats)
+    return {'params': variables['params'], 'batch_stats': stats}
+
+
+@pytest.mark.parametrize('arch', ['resnet50', 'mobilenet_v2'])
+def test_fold_matches_live_batch_stats_fp32(arch):
+    if arch == 'resnet50':
+        from mec_tpu.models.resnet import ImageEmotionModel as Model
+    else:
+        from mec_tpu.models.mobilenet import MobileNetV2EmotionModel as Model
+    x = np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    live = Model()
+    variables = _random_stats(live.init(jax.random.PRNGKey(0),
+                                        jnp.asarray(x), train=True))
+    want_logits, want_feat = live.apply(
+        {'params': variables['params'],
+         'batch_stats': variables['batch_stats']}, x)
+
+    folded = fold_conv_bn(variables)
+    got_logits, got_feat = Model(fold_bn=True).apply(folded, x)
+    np.testing.assert_allclose(np.asarray(got_logits),
+                               np.asarray(want_logits), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_feat),
+                               np.asarray(want_feat), atol=1e-4)
+
+
+def test_fold_rejects_unfoldable_trees():
+    with pytest.raises(ValueError, match='no .conv, bn. pairs'):
+        fold_conv_bn({'params': {'fc1': {'kernel': np.ones((2, 2)),
+                                         'bias': np.zeros(2)}},
+                      'batch_stats': {}})
+    # a bn the fold missed must raise, not silently change the graph
+    from mec_tpu.models.resnet import ImageEmotionModel
+    v = ImageEmotionModel().init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3)), train=True)
+    v = jax.tree_util.tree_map(np.asarray, v)
+    stats = dict(v['batch_stats'])
+    stats['orphan_bn'] = {'mean': np.zeros(4, np.float32),
+                          'var': np.ones(4, np.float32)}
+    with pytest.raises(ValueError, match='leaves'):
+        fold_conv_bn({'params': v['params'], 'batch_stats': stats})
+
+
+def test_engine_bf16_folds_image_artifact(tmp_path):
+    """bf16 engine folds at load and serves decisions consistent with the
+    fp32 live-BN engine (the perf-mode contract, tests/test_perf_mode.py
+    pattern)."""
+    from mec_tpu.config import Config
+    from mec_tpu.convert import store
+    from mec_tpu.models.mobilenet import MobileNetV2EmotionModel
+
+    img_size = 32
+    model = MobileNetV2EmotionModel()
+    variables = _random_stats(model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, img_size, img_size, 3)),
+        train=True), seed=5)
+    models_dir = str(tmp_path)
+    store.save_params(
+        store.native_path(str(tmp_path / 'image_model.pt')), variables,
+        meta={'arch': 'mobilenet_v2', 'img_size': img_size})
+
+    from tests.test_perf_mode import _engine
+    imgs = np.random.RandomState(2).randint(
+        0, 255, (3, img_size, img_size, 3), np.uint8)
+    fp32 = _engine(models_dir, 'float32')
+    assert fp32._image_folded is False
+    r32 = fp32.predict_images(imgs)
+    bf16 = _engine(models_dir, 'bfloat16')
+    assert bf16._image_folded is True
+    r16 = bf16.predict_images(imgs)
+    for a, b in zip(r32, r16):
+        np.testing.assert_allclose(np.asarray(a['all_probabilities']),
+                                   np.asarray(b['all_probabilities']),
+                                   atol=0.05)
+        if a['confidence'] > 0.6:
+            assert a['emotion'] == b['emotion']
