@@ -101,6 +101,94 @@ def freeze_torchvision() -> str:
     return path
 
 
+def adversarial_signals() -> dict:
+    """Signals that DISAMBIGUATE the four at-risk librosa-0.10 semantics
+    (round-2 VERDICT item 3): each is constructed so the plausible
+    *alternative* reading of the upstream docs yields a visibly
+    different 56-dim feature vector. See
+    tests/test_semantics_disambiguation.py for the readings.
+    """
+    t = np.arange(N_SAMPLES) / SR
+    # (1) chroma tuning estimator: a tone detuned +0.235 semitones off
+    # the A440 grid (mid-histogram-bin at resolution 0.01; the 2x
+    # harmonic shares the residual exactly). tuning=0 (no estimation)
+    # shifts every chroma filter center.
+    f_detuned = 27.5 * 2.0 ** ((49 + 0.235) / 12.0)  # ~446 Hz
+    detuned = (0.4 * np.sin(2 * np.pi * f_detuned * t)
+               + 0.15 * np.sin(2 * np.pi * 2 * f_detuned * t)
+               ).astype(np.float32)
+    # (2) power_to_db ref/top_db: 0.5 s of loud tone then near-silence.
+    # Global-max top_db clamp floors the quiet frames at max-80 dB;
+    # a per-frame clamp (the wrong reading) leaves them ~-200 dB.
+    loudquiet = (0.5 * np.sin(2 * np.pi * 880.0 * t)
+                 * (t < 0.5)).astype(np.float32)
+    loudquiet += 1e-7 * np.sin(2 * np.pi * 123.0 * t).astype(np.float32)
+    # (3) rolloff boundary: 94%/6% energy split between 300 Hz and
+    # 6 kHz puts the 85% |S|-cumsum crossing 23% into bin 557 (measured
+    # scan; stable across all interior frames, safely off both bin
+    # edges) -> first-bin>=threshold (librosa) reads 5,997 Hz while
+    # sub-bin interpolation (the wrong reading) is ~8.3 Hz lower.
+    twotone = (np.sqrt(0.94) * 0.4 * np.sin(2 * np.pi * 300.0 * t)
+               + np.sqrt(0.06) * 0.4 * np.sin(2 * np.pi * 6000.0 * t)
+               ).astype(np.float32)
+    # (4) zcr threshold edge: alternating-sign samples BELOW the 1e-10
+    # clip threshold. librosa zeroes them (signbit(0)=False -> zcr 0);
+    # skipping the clip (the wrong reading) counts a crossing at every
+    # sample (zcr ~1).
+    sub = np.full(N_SAMPLES, 5e-11, np.float32)
+    sub[1::2] *= -1.0
+    return {'detuned_tone': detuned, 'loudquiet': loudquiet,
+            'twotone_rolloff': twotone, 'subthreshold_zcr': sub}
+
+
+def freeze_semantics(force_oracle: bool = False) -> str:
+    """56-dim vectors for the adversarial signals ->
+    tests/goldens/semantics_vectors.npz.
+
+    In this offline image the fixture is written from the in-repo
+    numpy oracle (source=librosa_ref); running this script where
+    librosa installs overwrites it from the REAL library
+    (source=librosa-<version>), falsifying any shared misreading across
+    all four frontend implementations at once — they all assert against
+    this ONE file (tests/test_semantics_disambiguation.py).
+    """
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    out = {}
+    source = 'librosa_ref'
+    use_librosa = False
+    if not force_oracle:
+        try:
+            import librosa
+            source = f'librosa-{librosa.__version__}'
+            use_librosa = True
+        except ImportError:
+            pass
+    for name, y in adversarial_signals().items():
+        if use_librosa:
+            import librosa
+            mfcc = np.mean(
+                librosa.feature.mfcc(y=y, sr=SR, n_mfcc=40).T, axis=0)
+            chroma = np.mean(
+                librosa.feature.chroma_stft(y=y, sr=SR).T, axis=0)
+            zcr = float(np.mean(librosa.feature.zero_crossing_rate(y)))
+            cent = float(np.mean(
+                librosa.feature.spectral_centroid(y=y, sr=SR)))
+            roll = float(np.mean(
+                librosa.feature.spectral_rolloff(y=y, sr=SR)))
+            rms = float(np.mean(librosa.feature.rms(y=y)))
+            vec = np.concatenate(
+                [mfcc, chroma, np.array([zcr, cent, roll, rms])])
+        else:
+            from tests.librosa_ref import features_56
+            vec = features_56(y)
+        out[name] = np.asarray(vec, np.float64)
+    path = os.path.join(GOLDEN_DIR, 'semantics_vectors.npz')
+    np.savez(path, __source__=np.array(source), **out)
+    return path
+
+
 def _arch_input(shape, seed=11):
     return np.random.RandomState(seed).randn(*shape).astype(np.float32)
 
@@ -158,7 +246,8 @@ def freeze_arch_traces(force_oracle: bool = False) -> str:
 
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for fn in (freeze_librosa, freeze_torchvision, freeze_arch_traces):
+    for fn in (freeze_librosa, freeze_torchvision, freeze_arch_traces,
+               freeze_semantics):
         try:
             print('wrote', fn())
         except ImportError as e:
