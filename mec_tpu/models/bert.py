@@ -98,10 +98,15 @@ class BertLayer(nn.Module):
                                 self.seq_spec)
         if self.num_experts > 0:
             from mec_tpu.models.moe import MoEFFN
+            # recover the token mask from the additive bias (0.0 where
+            # attended, dtype-min where padded): padding tokens must not
+            # route or claim expert capacity, or logits would depend on
+            # the padded length and on bucket-mates (serve != eval)
+            token_mask = (attn_bias > jnp.asarray(-1.0, attn_bias.dtype))
             out = MoEFFN(self.hidden_size, self.intermediate_size,
                          self.num_experts, self.moe_capacity_factor,
                          self.dtype, self.gelu_approximate, self.ep_axis,
-                         name='moe')(hidden)
+                         name='moe')(hidden, token_mask)
             return _seq_constrain(ln('output_norm')(hidden + out),
                                   self.seq_spec)
         inter = nn.Dense(self.intermediate_size, dtype=self.dtype,

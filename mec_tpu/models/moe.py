@@ -11,23 +11,43 @@ The dispatch is the GShard/Switch capacity-based formulation, kept
 fully static for XLA:
 
   * router: dense (H -> E) logits, top-1 expert per token
-  * position-in-expert via a cumsum over the token one-hots; tokens past
-    the expert's capacity C are dropped (their FFN output is 0, so the
-    residual connection passes them through — Switch Transformer
-    semantics)
-  * dispatch:  (T, E, C) one-hot  x  (T, H)  -> (E, C, H)   einsum
+  * routing group = ONE EXAMPLE (GShard's group, chosen as the example):
+    position-in-expert via a cumsum over each example's token one-hots;
+    tokens past the expert's per-example capacity C are dropped (their
+    FFN output is 0, so the residual connection passes them through —
+    Switch Transformer semantics)
+  * attention-masked (padding) tokens never route: they claim no
+    capacity, contribute nothing to the aux loss, and output 0
+  * dispatch:  (B, L, E, C) one-hot  x  (B, L, H)  -> (B, E, C, H)
   * experts:   per-expert kernels (E, H, F), (E, F, H), gelu between
   * combine:   gate-weighted transpose of the dispatch einsum
-  * aux loss:  E * sum_e(frac_tokens_e * mean_prob_e)  (load balancing;
-    sown into the 'losses' collection as 'moe_aux')
+  * aux loss:  E * sum_e(frac_tokens_e * mean_prob_e)  (load balancing,
+    over real tokens only; sown into 'losses' as 'moe_aux')
 
-No data-dependent shapes anywhere: capacity is a static function of
-(tokens, E, capacity_factor), routing is argmax + one-hot matmuls.
+Per-example routing is what makes MoE a *serving-grade* layer here: a
+batch-global cumsum (the usual training formulation) lets one request's
+tokens displace another's from expert capacity, so the same request
+returns different probabilities depending on its bucket-mates, and
+eval logits depend on the padded length. Caught by
+tests/test_parallel_serving.py (round-3): the --experts round trip
+diverged 0.05 between seq-128 eval and the engine's seq-32 bucket
+before the mask/grouping fix. No data-dependent shapes anywhere:
+capacity is a static function of (L, E, capacity_factor), routing is
+argmax + one-hot matmuls.
+
+Exactness scope (measured on the v5e, 2026-08-19): with mask-aware
+per-example routing, logits never depend on bucket-mates' CONTENT.
+Capacity still scales with the padded length L (it must — shapes are
+static), so logits across different pad lengths agree exactly iff no
+expert overflows the smaller capacity; past capacity, extra tokens drop
+to the residual (Switch's lossy regime, which the load-balancing loss
+trains away from). A kept token's expert slot assignment is
+prefix-stable in L, so growing L only ever *un-drops* tokens.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -36,26 +56,30 @@ import jax.numpy as jnp
 
 def _expert_constrain(x: jnp.ndarray,
                       ep_axis: Optional[str]) -> jnp.ndarray:
-    """Constrain a (E, C, ...) expert-major tensor to shard E over
-    `ep_axis`. Resolves against the ambient mesh (jax.sharding.set_mesh)
-    at trace time; no-op when no mesh naming the axis is in context, so
-    init and single-device traces work unannotated."""
+    """Constrain a (B, E, C, H) expert-major tensor to shard E over
+    `ep_axis` (and B over the data axis when the mesh has one). Resolves
+    against the ambient mesh (jax.sharding.set_mesh) at trace time;
+    no-op when no mesh naming the axis is in context, so init and
+    single-device traces work unannotated."""
     if ep_axis is None:
         return x
     mesh = jax.sharding.get_abstract_mesh()
     if mesh.empty or ep_axis not in mesh.axis_names:
         return x
     from jax.sharding import PartitionSpec as P
+
+    from mec_tpu.parallel.mesh import DATA_AXIS
+    b_axis = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
     return jax.lax.with_sharding_constraint(
-        x, P(ep_axis, *([None] * (x.ndim - 1))))
+        x, P(b_axis, ep_axis, *([None] * (x.ndim - 2))))
 
 
 class MoEFFN(nn.Module):
     """Top-1-routed expert FFN, drop-in for the dense BERT FFN block.
 
     Input (B, L, H) -> output (B, L, H); the caller keeps the residual
-    add + LayerNorm so dropped (over-capacity) tokens degrade to
-    identity, matching Switch Transformer.
+    add + LayerNorm so dropped (over-capacity) and padding tokens
+    degrade to identity, matching Switch Transformer.
     """
     hidden_size: int
     intermediate_size: int
@@ -67,47 +91,53 @@ class MoEFFN(nn.Module):
     router_jitter: float = 0.0     # multiplicative noise at train time
 
     @nn.compact
-    def __call__(self, hidden: jnp.ndarray, *, train: bool = False
-                 ) -> jnp.ndarray:
+    def __call__(self, hidden: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None, *,
+                 train: bool = False) -> jnp.ndarray:
         B, L, H = hidden.shape
         E = self.num_experts
-        T = B * L
-        # static capacity; at least 1 so tiny traces stay valid
-        C = max(1, int(self.capacity_factor * T / E))
+        # static PER-EXAMPLE capacity; at least 1 so tiny traces stay
+        # valid
+        C = max(1, int(self.capacity_factor * L / E))
+        m = (jnp.ones((B, L), jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
 
-        tokens = hidden.reshape(T, H)
         router = nn.Dense(E, dtype=jnp.float32, name='router')
-        logits = router(tokens.astype(jnp.float32))
+        logits = router(hidden.astype(jnp.float32))      # (B, L, E)
         if train and self.router_jitter > 0.0:
             rng = self.make_rng('dropout')
             logits = logits * jax.random.uniform(
                 rng, logits.shape, minval=1.0 - self.router_jitter,
                 maxval=1.0 + self.router_jitter)
-        probs = jax.nn.softmax(logits, axis=-1)          # (T, E)
-        expert_idx = jnp.argmax(probs, axis=-1)          # (T,)
-        onehot = jax.nn.one_hot(expert_idx, E, dtype=jnp.float32)
-        gate = jnp.sum(probs * onehot, axis=-1)          # (T,)
+        probs = jax.nn.softmax(logits, axis=-1)          # (B, L, E)
+        expert_idx = jnp.argmax(probs, axis=-1)          # (B, L)
+        # padding tokens route nowhere: no capacity claim, no output
+        onehot = jax.nn.one_hot(expert_idx, E, dtype=jnp.float32) \
+            * m[:, :, None]
+        gate = jnp.sum(probs * onehot, axis=-1)          # (B, L)
 
-        # load-balancing aux loss (Switch eq. 4): E * sum_e f_e * P_e.
-        # Not sown at init so checkpoints never carry a 'losses'
-        # collection.
+        # load-balancing aux loss (Switch eq. 4): E * sum_e f_e * P_e,
+        # means over REAL tokens only. Not sown at init so checkpoints
+        # never carry a 'losses' collection.
         if not self.is_initializing():
-            frac = jnp.mean(onehot, axis=0)
-            mean_prob = jnp.mean(probs, axis=0)
-            self.sow('losses', 'moe_aux',
-                     E * jnp.sum(frac * mean_prob))
+            denom = jnp.maximum(jnp.sum(m), 1.0)
+            frac = jnp.sum(onehot, axis=(0, 1)) / denom
+            mean_prob = jnp.sum(probs * m[:, :, None], axis=(0, 1)) \
+                / denom
+            self.sow('losses', 'moe_aux', E * jnp.sum(frac * mean_prob))
 
-        # position of each token within its expert (0-based), tokens
-        # past capacity dropped
-        pos = jnp.cumsum(onehot, axis=0) * onehot        # 1-based where routed
-        pos = jnp.sum(pos, axis=-1) - 1.0                # (T,)
+        # position of each token within its expert (0-based), cumsum per
+        # example over its own sequence; tokens past capacity dropped
+        pos = jnp.cumsum(onehot, axis=1) * onehot  # 1-based where routed
+        pos = jnp.sum(pos, axis=-1) - 1.0                # (B, L)
         keep = (pos < C) & (pos >= 0)
         pos_oh = jax.nn.one_hot(pos.astype(jnp.int32), C,
                                 dtype=jnp.float32) \
-            * keep[:, None].astype(jnp.float32)          # (T, C)
-        dispatch = onehot[:, :, None] * pos_oh[:, None, :]   # (T, E, C)
+            * keep[:, :, None].astype(jnp.float32)       # (B, L, C)
+        dispatch = onehot[:, :, :, None] * pos_oh[:, :, None, :]
+        # dispatch: (B, L, E, C)
 
-        xin = jnp.einsum('th,tec->ech', tokens.astype(jnp.float32),
+        xin = jnp.einsum('blh,blec->bech', hidden.astype(jnp.float32),
                          dispatch).astype(self.dtype)
         xin = _expert_constrain(xin, self.ep_axis)
 
@@ -118,13 +148,14 @@ class MoEFFN(nn.Module):
         bi = self.param('bi', nn.initializers.zeros,
                         (E, self.intermediate_size), jnp.float32)
         bo = self.param('bo', nn.initializers.zeros, (E, H), jnp.float32)
-        h = jnp.einsum('ech,ehf->ecf', xin, wi.astype(self.dtype))
-        h = h + bi[:, None, :].astype(self.dtype)
+        h = jnp.einsum('bech,ehf->becf', xin, wi.astype(self.dtype))
+        h = h + bi[None, :, None, :].astype(self.dtype)
         h = nn.gelu(h, approximate=self.gelu_approximate)
-        out = jnp.einsum('ecf,efh->ech', h, wo.astype(self.dtype))
-        out = out + bo[:, None, :].astype(self.dtype)
+        out = jnp.einsum('becf,efh->bech', h, wo.astype(self.dtype))
+        out = out + bo[None, :, None, :].astype(self.dtype)
         out = _expert_constrain(out, self.ep_axis)
 
-        combine = dispatch * gate[:, None, None]             # (T, E, C)
-        y = jnp.einsum('ech,tec->th', out.astype(jnp.float32), combine)
-        return y.reshape(B, L, H).astype(self.dtype)
+        combine = dispatch * gate[:, :, None, None]      # (B, L, E, C)
+        y = jnp.einsum('bech,blec->blh', out.astype(jnp.float32),
+                       combine)
+        return y.astype(self.dtype)

@@ -136,6 +136,19 @@ class EmotionEngine:
             self.compute_dtype == jnp.bfloat16
             and (ha in ('1', 'true', 'yes', 'on')
                  or (ha == 'auto' and _auto_host_audio())))
+        # Batch-1 arg streaming (MEC_B1_STREAM): device_put each wire
+        # component the moment it is encoded so its tunnel upload
+        # overlaps the remaining host decode work (the batched path's
+        # convention), instead of passing host numpy straight into the
+        # jit call. MEASURED NEGATIVE at batch 1 (2026-08-19, real v5e,
+        # interleaved A/B x24: stream 38.54 ms p50 / 35.32 min vs
+        # host-args 36.36 / 32.87) even with the puts issued BEFORE
+        # tokenize+image decode: three extra put dispatches on this
+        # 1-core host cost more than overlapping the ~175 KB upload
+        # saves (host work is only ~1.3 ms). Confirms round 1. The knob
+        # stays for multi-core hosts; default off.
+        self._b1_stream = os.environ.get('MEC_B1_STREAM', '0') \
+            not in ('0', 'false', 'no', 'off')
         self.speech: Optional[Dict[str, Any]] = None
         self.bert: Optional[Dict[str, Any]] = None
         self.lstm: Optional[Dict[str, Any]] = None
@@ -1008,16 +1021,35 @@ class EmotionEngine:
         never beat through the remote tunnel."""
         from mec_tpu.image.preprocess import load_image_uint8
         b = self._bucket(1)
-        waves = wav.load_and_fix_length(audio_path)[0][None, :]
-        ids, mask = self._seq_slice(*self.bert_tokenizer.encode_batch(
-            [text], Config.MAX_TEXT_LENGTH))
-        img = load_image_uint8(image_path, self._image_size)[None]
-        packed = np.asarray(self._trimodal_jit(
-            self.speech['variables'], self.speech['scaler'],
-            self.bert['variables'], self.image['variables'],
-            self._fusion_dispatch_vars,
-            self._wire_waves(waves, b), _pad_rows(ids, b),
-            _pad_rows(mask, b), self._wire_image(img, b)))[0]
+        if self._b1_stream:
+            # Stream each wire component to the device the moment it is
+            # encoded (audio first — it is the largest, ~99 KB):
+            # device_put is async through the tunnel, so the upload
+            # overlaps tokenize + image decode and the jit dispatch
+            # receives device handles instead of blocking on transfer.
+            waves = wav.load_and_fix_length(audio_path)[0][None, :]
+            w_arg = self._put(self._wire_waves(waves, b))
+            ids, mask = self._seq_slice(*self.bert_tokenizer.encode_batch(
+                [text], Config.MAX_TEXT_LENGTH))
+            t_args = self._put((_pad_rows(ids, b), _pad_rows(mask, b)))
+            img = load_image_uint8(image_path, self._image_size)[None]
+            i_arg = self._put(self._wire_image(img, b))
+            packed = np.asarray(self._trimodal_jit(
+                self.speech['variables'], self.speech['scaler'],
+                self.bert['variables'], self.image['variables'],
+                self._fusion_dispatch_vars,
+                w_arg, *t_args, i_arg))[0]
+        else:
+            waves = wav.load_and_fix_length(audio_path)[0][None, :]
+            ids, mask = self._seq_slice(*self.bert_tokenizer.encode_batch(
+                [text], Config.MAX_TEXT_LENGTH))
+            img = load_image_uint8(image_path, self._image_size)[None]
+            packed = np.asarray(self._trimodal_jit(
+                self.speech['variables'], self.speech['scaler'],
+                self.bert['variables'], self.image['variables'],
+                self._fusion_dispatch_vars,
+                self._wire_waves(waves, b), _pad_rows(ids, b),
+                _pad_rows(mask, b), self._wire_image(img, b)))[0]
         return {
             'speech': result_dict(packed[:7]),
             'text': result_dict(packed[7:14]),

@@ -94,6 +94,13 @@ _SLOW_NODEIDS = (
     'test_hardening.py::test_batch_degraded_image_skips_redecodes',
     'test_pallas.py::test_full_frontend_pallas_path',
     'test_perf_mode.py::test_bf16_speech_decisions_match_fp32',
+    # fusion-advantage corpus trains the real fusion net for 30 epochs
+    'test_fusion_advantage.py::test_fusion_beats_best_single_modality',
+    # parallel-flag train->convert->serve round trips (mesh-train +
+    # engine build + webapp each)
+    'test_parallel_serving.py::test_moe_expert_parallel_artifact_serves',
+    'test_parallel_serving.py::test_pipeline_parallel_artifact_serves',
+    'test_parallel_serving.py::test_seq_parallel_artifact_serves',
 )
 
 

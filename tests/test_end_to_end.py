@@ -35,12 +35,18 @@ def trained(tmp_path_factory):
     from mec_tpu.database import get_db
     db = get_db(str(work / 'e2e.db'), reload=True)
 
+    # Accuracy gates are pinned to what these deterministic corpora
+    # MEASURE (2026-08-19, this exact fixture, seeds fixed end-to-end),
+    # minus a safety margin — not to the 1/7 chance rate (round-2
+    # VERDICT item 1: a trainer that silently lost most of its
+    # capability must FAIL here). Measured: speech 1.00, lstm 0.571,
+    # bert 1.00, image 0.286, fusion 0.648.
     speech_root = make_speech_corpus(str(work / 'speech'), per_class=8)
     from mec_tpu.training import train_speech
     _, _, hist = train_speech.train(
         data_root=speech_root, epochs=12, batch_size=16,
         models_dir=models_dir, verbose=False)
-    assert max(hist['val_acc']) > 1 / 7
+    assert max(hist['val_acc']) > 0.85, hist['val_acc']
 
     texts, labels = make_text_corpus(per_class=12)
     from mec_tpu.training import train_text_lstm
@@ -48,7 +54,7 @@ def trained(tmp_path_factory):
         csv_path=None, texts=texts, labels=labels, epochs=8,
         batch_size=16, max_length=16, models_dir=models_dir,
         verbose=False)
-    assert max(hist['val_acc']) > 1 / 7
+    assert max(hist['val_acc']) > 0.40, hist['val_acc']
 
     from mec_tpu.training import train_text_bert
     tok = make_bert_tokenizer(texts)
@@ -59,7 +65,7 @@ def trained(tmp_path_factory):
         epochs=8, batch_size=16, max_length=16, learning_rate=5e-4,
         model_kwargs=bert_kwargs,
         models_dir=os.path.join(models_dir, 'bert_model'), verbose=False)
-    assert max(hist['val_acc']) > 1 / 7
+    assert max(hist['val_acc']) > 0.85, hist['val_acc']
 
     imgs, img_labels = make_image_corpus(img_size=48, per_class=8)
     from mec_tpu.training import train_image
@@ -67,6 +73,10 @@ def trained(tmp_path_factory):
         data_root=None, imgs=imgs, labels=img_labels, img_size=48,
         epochs=6, phase1_epochs=1, batch_size=16, learning_rate=1e-3,
         models_dir=models_dir, bf16=False, verbose=False)
+    # from-scratch ResNet50 on 56 images in 6 epochs only gets so far;
+    # 0.286 measured — the gate catches a dead trainer, not a weak one
+    assert max(hist['phase1']['val_acc']
+               + hist['phase2']['val_acc']) > 0.20, hist
 
     from mec_tpu.training import train_fusion
     dataset = train_fusion.generate_synthetic_data(
@@ -75,7 +85,7 @@ def trained(tmp_path_factory):
     _, _, hist = train_fusion.train(dataset=dataset, epochs=6,
                                     batch_size=64, models_dir=models_dir,
                                     verbose=False)
-    assert max(hist['val_acc']) > 1 / 7
+    assert max(hist['val_acc']) > 0.55, hist['val_acc']
 
     return {'models_dir': models_dir, 'db': db,
             'speech_root': speech_root, 'work': str(work)}
@@ -122,8 +132,8 @@ def test_speech_accuracy_over_http(served, trained):
                 'audio': (io.BytesIO(fh.read()), f'{emotion}.wav')})
         assert r.status_code == 200
         correct += r.json['emotion'] == emotion
-    # chance is 1/7: P(>=3 correct | random) < 1%
-    assert correct >= 3, f'speech HTTP accuracy {correct}/7'
+    # measured 7/7 on this fixture (2026-08-19); one-sample slack
+    assert correct >= 6, f'speech HTTP accuracy {correct}/7'
 
 
 def test_text_accuracy_over_http(served):
@@ -132,7 +142,9 @@ def test_text_accuracy_over_http(served):
         r = served.post('/api/predict/text', json={'text': phrase})
         assert r.status_code == 200
         correct += r.json['emotion'] == emotion
-    assert correct >= 3, f'text HTTP accuracy {correct}/7'
+    # measured 6/7 on this fixture (2026-08-19: 'happy' lands neutral —
+    # 12 samples/class from-scratch BERT); one-sample slack
+    assert correct >= 5, f'text HTTP accuracy {correct}/7'
 
 
 def test_multimodal_and_metrics_over_http(served, trained):

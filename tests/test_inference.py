@@ -256,6 +256,18 @@ class TestLiveServing:
         np.testing.assert_allclose(res['speech']['all_probabilities'],
                                    s['all_probabilities'], atol=2e-5)
 
+        # MEC_B1_STREAM variant: per-component async puts feed the SAME
+        # jit graph — identical results, different upload scheduling
+        prev = live_engine._b1_stream
+        try:
+            live_engine._b1_stream = not prev
+            res2 = live_engine.predict_multimodal(audio, text, img_p)
+        finally:
+            live_engine._b1_stream = prev
+        np.testing.assert_allclose(res2['fusion']['all_probabilities'],
+                                   res['fusion']['all_probabilities'],
+                                   atol=1e-6)
+
     def test_trimodal_batch(self, live_engine, tmp_path):
         from PIL import Image
         audio = _tone_wav(tmp_path, 'b.wav')

@@ -97,6 +97,59 @@ def test_moe_expert_parallel_matches_replicated():
                                atol=2e-5)
 
 
+def test_moe_exact_wrt_attention_mask():
+    """MoE logits must be invariant to padded length in the no-overflow
+    regime: the engine serves seq-32 buckets while eval may run seq-128
+    — round-3 regression (test_parallel_serving caught a 0.05
+    probability divergence when padding tokens competed for expert
+    capacity). capacity_factor=2.0 with E=2 makes C >= L/E*2 = L, so no
+    expert can overflow at either length and the invariance is exact by
+    construction (capacity itself scales with L — Switch semantics —
+    so under overflow the shorter padding drops more tokens)."""
+    model = BertForSequenceClassification(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, max_position=64, num_experts=2,
+        moe_capacity_factor=2.0)
+    rng = np.random.RandomState(3)
+    ids8 = rng.randint(1, 64, (2, 8)).astype(np.int32)
+    mask8 = np.ones((2, 8), np.int32)
+    mask8[:, 6:] = 0
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids8),
+                           jnp.asarray(mask8))
+    logits8, _ = model.apply(variables, jnp.asarray(ids8),
+                             jnp.asarray(mask8))
+
+    ids16 = np.zeros((2, 16), np.int32)
+    ids16[:, :8] = ids8
+    mask16 = np.zeros((2, 16), np.int32)
+    mask16[:, :8] = mask8
+    logits16, _ = model.apply(variables, jnp.asarray(ids16),
+                              jnp.asarray(mask16))
+    np.testing.assert_allclose(np.asarray(logits8), np.asarray(logits16),
+                               atol=1e-5)
+
+
+def test_moe_batch_composition_invariance():
+    """Per-example routing groups: an example's logits must not depend
+    on which other requests share its serving bucket (batch-global
+    capacity would let one request's tokens displace another's)."""
+    model = BertForSequenceClassification(
+        vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
+        intermediate_size=64, max_position=32, num_experts=2,
+        moe_capacity_factor=1.0)
+    rng = np.random.RandomState(4)
+    ids = rng.randint(1, 64, (4, 8)).astype(np.int32)
+    mask = np.ones((4, 8), np.int32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                           jnp.asarray(mask))
+    batched, _ = model.apply(variables, jnp.asarray(ids),
+                             jnp.asarray(mask))
+    alone, _ = model.apply(variables, jnp.asarray(ids[:1]),
+                           jnp.asarray(mask[:1]))
+    np.testing.assert_allclose(np.asarray(batched[:1]), np.asarray(alone),
+                               atol=1e-5)
+
+
 def test_moe_trainer_end_to_end(tmp_path):
     """--experts trains, adds the aux loss, and saves a servable config
     that round-trips through model_kwargs_from_config."""
