@@ -210,6 +210,25 @@ class Config:
     # (live batch_stats = exact reference eval semantics).
     FOLD_BN = _env_flag('MEC_FOLD_BN', True)
 
+    # bf16 serving: after the BN fold, quantize the ResNet50 bottleneck
+    # convs to int8 (per-output-channel weights at load, per-example
+    # dynamic activation scales on device; ops/quant.py). The v5e MXU
+    # runs s8 x s8 -> s32 at ~1.7x the bf16 conv rate (measured,
+    # examples/probe_int8.py) and the image stage dominates the fused
+    # tri-modal step. Decision parity is pinned by tests/test_quant.py
+    # (softmax Linf ~0.01 — inside the 0.002-0.05 perf-mode band).
+    # fp32 parity mode ignores this. No effect on MobileNetV2 artifacts
+    # (already the fast variant; depthwise convs don't ride the MXU).
+    IMAGE_INT8 = _env_flag('MEC_IMAGE_INT8', True)
+
+    # bf16 serving: quantize the BERT encoder matmuls (q/k/v, attention
+    # out, FFN — ~97% of the forward's FLOPs) to int8 with per-token
+    # dynamic activation scales (ops/quant.quantize_bert_params,
+    # models/qconv.QuantDense). Embeddings, LayerNorms, the attention
+    # score/context matmuls, pooler, and classifier stay bf16. fp32
+    # parity mode ignores this.
+    BERT_INT8 = _env_flag('MEC_BERT_INT8', True)
+
     # Perf-mode host audio featurization: compute the 56-dim frontend on
     # the host (C++ single-pass, mec_tpu/native/audiofeat.cpp) and ship
     # 224 B of features per clip instead of the ~99 KB packed waveform.

@@ -52,19 +52,33 @@ def _seq_constrain(hidden: jnp.ndarray,
         hidden, P(batch_axis, seq_axis, None))
 
 
+def _dense(quant: bool, dtype, mode: str = 'dynamic'):
+    """nn.Dense, or the int8 QuantDense in bf16 serving mode
+    (ops/quant.quantize_bert_params params; per-token dynamic or
+    calibrated static activation scales — see models/qconv.py)."""
+    if quant:
+        from mec_tpu.models.qconv import QuantDense
+        return lambda features, name: QuantDense(features, dtype=dtype,
+                                                 mode=mode, name=name)
+    return lambda features, name: nn.Dense(features, dtype=dtype, name=name)
+
+
 class BertSelfAttention(nn.Module):
     hidden_size: int = 768
     num_heads: int = 12
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False  # int8 q/k/v projections (serving only)
+    quant_mode: str = 'dynamic'
 
     @nn.compact
     def __call__(self, hidden: jnp.ndarray, attn_bias: jnp.ndarray
                  ) -> jnp.ndarray:
         B, L, H = hidden.shape
         nh, hd = self.num_heads, self.hidden_size // self.num_heads
-        q = nn.Dense(H, dtype=self.dtype, name='query')(hidden)
-        k = nn.Dense(H, dtype=self.dtype, name='key')(hidden)
-        v = nn.Dense(H, dtype=self.dtype, name='value')(hidden)
+        dense = _dense(self.quant, self.dtype, self.quant_mode)
+        q = dense(H, 'query')(hidden)
+        k = dense(H, 'key')(hidden)
+        v = dense(H, 'value')(hidden)
         q = q.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
@@ -85,15 +99,21 @@ class BertLayer(nn.Module):
     num_experts: int = 0            # >0: MoE FFN (models/moe.py)
     moe_capacity_factor: float = 1.25
     ep_axis: Optional[str] = None   # mesh axis for expert parallelism
+    # int8 encoder matmuls (serving only; ~97% of the forward's FLOPs,
+    # measured 1.8x MXU rate — ops/quant.py). MoE expert banks stay in
+    # compute_dtype; only the attention matmuls quantize in MoE layers.
+    quant: bool = False
+    quant_mode: str = 'dynamic'
 
     @nn.compact
     def __call__(self, hidden: jnp.ndarray, attn_bias: jnp.ndarray
                  ) -> jnp.ndarray:
         ln = lambda name: nn.LayerNorm(epsilon=1e-12, use_fast_variance=False, dtype=self.dtype, name=name)
+        dense = _dense(self.quant, self.dtype, self.quant_mode)
         ctx = BertSelfAttention(self.hidden_size, self.num_heads, self.dtype,
+                                quant=self.quant, quant_mode=self.quant_mode,
                                 name='attention_self')(hidden, attn_bias)
-        ctx = nn.Dense(self.hidden_size, dtype=self.dtype,
-                       name='attention_output')(ctx)
+        ctx = dense(self.hidden_size, 'attention_output')(ctx)
         hidden = _seq_constrain(ln('attention_norm')(hidden + ctx),
                                 self.seq_spec)
         if self.num_experts > 0:
@@ -109,14 +129,13 @@ class BertLayer(nn.Module):
                          name='moe')(hidden, token_mask)
             return _seq_constrain(ln('output_norm')(hidden + out),
                                   self.seq_spec)
-        inter = nn.Dense(self.intermediate_size, dtype=self.dtype,
-                         name='intermediate')(hidden)
+        inter = dense(self.intermediate_size, 'intermediate')(hidden)
         # erf-GELU is the HF bert-base activation (parity path). The tanh
         # approximation is bf16-serving-only: its ~1e-3 absolute error sits
         # at the bf16 quantization level, and the 12 erf evaluations over
         # (B*L, 3072) measured 0.44 ms/step slower at batch 64 on the v5e.
         inter = nn.gelu(inter, approximate=self.gelu_approximate)
-        out = nn.Dense(self.hidden_size, dtype=self.dtype, name='output')(inter)
+        out = dense(self.hidden_size, 'output')(inter)
         return _seq_constrain(ln('output_norm')(hidden + out),
                               self.seq_spec)
 
@@ -151,6 +170,12 @@ class BertForSequenceClassification(nn.Module):
     # step). The standard lever for long-sequence / large-batch
     # fine-tuning; train-time only in effect (eval has no backward).
     remat: bool = False
+    # int8 encoder matmuls (bf16 serving only; ops/quant.py). The
+    # embeddings, LayerNorms, attention score/context matmuls, pooler,
+    # and classifier stay in compute_dtype. quant_mode: 'dynamic'
+    # (per-token scales) or 'static' (calibrated act_scale params).
+    quant: bool = False
+    quant_mode: str = 'dynamic'
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
@@ -192,7 +217,8 @@ class BertForSequenceClassification(nn.Module):
                                self.gelu_approximate, self.seq_spec,
                                num_experts=self.num_experts,
                                moe_capacity_factor=self.moe_capacity_factor,
-                               ep_axis=self.ep_axis,
+                               ep_axis=self.ep_axis, quant=self.quant,
+                               quant_mode=self.quant_mode,
                                name=f'layer_{i}')(hidden, attn_bias)
 
         cls = hidden[:, 0, :]

@@ -34,12 +34,23 @@ class Bottleneck(nn.Module):
     # serve with BN pre-folded into conv kernels+biases
     # (ops/fold.fold_conv_bn); inference-only
     fold_bn: bool = False
+    # serve the folded convs as int8 (s8 x s8 -> s32 on the MXU at
+    # ~1.7x the bf16 rate; ops/quant.py). Implies fold_bn;
+    # inference-only. quant_mode: 'dynamic' (per-example scales) or
+    # 'static' (calibrated act_scale params) — see models/qconv.py.
+    quant: bool = False
+    quant_mode: str = 'dynamic'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # `train` is positional (not keyword-only) so nn.remat's
         # static_argnums can reach it
-        conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
+        if self.quant:
+            from mec_tpu.models.qconv import QuantConv
+            conv = partial(QuantConv, dtype=self.dtype,
+                           mode=self.quant_mode)
+        else:
+            conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
         if self.fold_bn:
             def bn(name):
                 return lambda h: h
@@ -78,6 +89,13 @@ class ImageEmotionModel(nn.Module):
     # (convs carry biases, no BatchNorm collections). bf16 serving mode
     # uses this — BN elementwise traffic is off the image hot path.
     fold_bn: bool = False
+    # Inference-only, requires fold_bn: bottleneck convs run as
+    # dynamically-quantized int8 (ops/quant.quantize_image_params
+    # params; models/qconv.QuantConv). The stem conv and head Dense
+    # layers stay in compute_dtype (3 input channels pad 125/128 of an
+    # MXU tile / negligible FLOPs). quant_mode as in Bottleneck.
+    quant: bool = False
+    quant_mode: str = 'dynamic'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False
@@ -88,6 +106,8 @@ class ImageEmotionModel(nn.Module):
         """
         if self.fold_bn and train:
             raise ValueError('fold_bn is inference-only')
+        if self.quant and not self.fold_bn:
+            raise ValueError('quant requires fold_bn (BN-folded params)')
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=self.fold_bn, dtype=self.dtype, name='conv1')(x)
@@ -108,7 +128,8 @@ class ImageEmotionModel(nn.Module):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 x = block_cls(features, stride=stride,
                               downsample=(block == 0), dtype=self.dtype,
-                              fold_bn=self.fold_bn,
+                              fold_bn=self.fold_bn, quant=self.quant,
+                              quant_mode=self.quant_mode,
                               name=f'layer{stage + 1}_{block}')(x, train)
 
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)

@@ -405,6 +405,7 @@ class EmotionEngine:
         # (reference eval-mode semantics exactly,
         # reference inference/image_inference.py:48-92).
         self._image_folded = False
+        self._image_quant = False
         if (self.image is not None and Config.FOLD_BN
                 and self.compute_dtype == jnp.bfloat16):
             try:
@@ -415,6 +416,35 @@ class EmotionEngine:
             except Exception as e:
                 log.warning('conv+BN fold unavailable, serving live '
                             'batch_stats: %s', e)
+        # Folded ResNet50 bottleneck convs -> dynamically-quantized int8
+        # (s8 x s8 -> s32 on the MXU at ~1.7x the bf16 conv rate,
+        # examples/probe_int8.py; scheme + parity bounds in
+        # ops/quant.py). MobileNetV2 artifacts skip this (depthwise
+        # convs don't ride the MXU; the variant is already fast).
+        if (self._image_folded and Config.IMAGE_INT8
+                and 'conv_stem' not in self.image['variables']['params']):
+            try:
+                from mec_tpu.ops.quant import quantize_image_params
+                self.image['variables'] = quantize_image_params(
+                    self.image['variables'])
+                self._image_quant = True
+            except Exception as e:
+                log.warning('image int8 quantization unavailable, '
+                            'serving bf16 convs: %s', e)
+        # BERT encoder matmuls -> int8 (per-token dynamic activation
+        # scales; embeddings/LN/attention-scores/pooler stay bf16 —
+        # ops/quant.quantize_bert_params)
+        self._bert_quant = False
+        if (self.bert is not None and Config.BERT_INT8
+                and self.compute_dtype == jnp.bfloat16):
+            try:
+                from mec_tpu.ops.quant import quantize_bert_params
+                self.bert['variables'] = quantize_bert_params(
+                    self.bert['variables'])
+                self._bert_quant = True
+            except Exception as e:
+                log.warning('BERT int8 quantization unavailable, '
+                            'serving bf16 matmuls: %s', e)
 
         cast_bf16 = (self.compute_dtype == jnp.bfloat16
                      and Config.BF16_PARAMS)
@@ -509,7 +539,8 @@ class EmotionEngine:
                 dtype=self.compute_dtype, fold_bn=self._image_folded)
         else:
             image_model = ImageEmotionModel(dtype=self.compute_dtype,
-                                            fold_bn=self._image_folded)
+                                            fold_bn=self._image_folded,
+                                            quant=self._image_quant)
         fusion_kwargs = (self.fusion or {}).get('config') or {}
         fusion_model = MultiModalFusionModel(**{
             k: v for k, v in fusion_kwargs.items()
@@ -523,7 +554,8 @@ class EmotionEngine:
         # fp32 parity mode keeps erf (exact HF bert-base semantics).
         bert_model = BertForSequenceClassification(
             **bert_kwargs, dtype=self.compute_dtype,
-            gelu_approximate=self.compute_dtype == jnp.bfloat16)
+            gelu_approximate=self.compute_dtype == jnp.bfloat16,
+            quant=self._bert_quant)
         if self.lstm is not None:
             p = self.lstm['variables']['params']
             lstm_model = BiLSTMTextModel(
