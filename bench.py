@@ -450,6 +450,12 @@ def main():
                                       if device_rate else None),
         'device_step_preds_per_sec_b64': (round(device_rate_b64, 1)
                                           if device_rate_b64 else None),
+        # int8 serving quantization state (ops/quant.py): mode is
+        # 'static' after load-time calibration, 'dynamic' fallback
+        'image_int8': (engine._image_quant_mode
+                       if getattr(engine, '_image_quant', False) else None),
+        'bert_int8': (engine._bert_quant_mode
+                      if getattr(engine, '_bert_quant', False) else None),
     }
     if decomp:
         result['p50_decomposition'] = decomp

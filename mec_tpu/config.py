@@ -229,6 +229,16 @@ class Config:
     # parity mode ignores this.
     BERT_INT8 = _env_flag('MEC_BERT_INT8', True)
 
+    # Static-PTQ activation scales for the int8 paths: calibrate a
+    # per-layer act_scale at engine load (one dynamic forward on a
+    # deterministic synthetic batch) so the quantize fuses into the
+    # producer's epilogue instead of paying a per-batch max-reduce +
+    # extra activation pass. Measured on the v5e (b64): ResNet50
+    # 6.01 -> 4.62 ms, BERT 3.84 -> 3.14 ms vs bf16
+    # (examples/ab_int8_static.py). Off = dynamic per-example/per-token
+    # scales (zero calibration, batch-invariant, perf-neutral).
+    INT8_STATIC = _env_flag('MEC_INT8_STATIC', True)
+
     # Perf-mode host audio featurization: compute the 56-dim frontend on
     # the host (C++ single-pass, mec_tpu/native/audiofeat.cpp) and ship
     # 224 B of features per clip instead of the ~99 KB packed waveform.

@@ -139,9 +139,14 @@ def calibrate_static_scales(model_dynamic, variables, apply_args,
     margin saturate at +-127. margin trades clipping risk against
     resolution — 1.25 keeps full int8 resolution for anything within
     25% of the calibration range."""
-    _, state = model_dynamic.apply(variables, *apply_args,
-                                   mutable=['intermediates'])
-    inter = state['intermediates']
+    import jax
+
+    @jax.jit
+    def _run(v, *a):
+        return model_dynamic.apply(v, *a, mutable=['intermediates'])
+
+    _, state = _run(variables, *apply_args)
+    inter = jax.device_get(state['intermediates'])
 
     def insert(pnode, inode):
         new = {}

@@ -517,7 +517,35 @@ class EmotionEngine:
     # ------------------------------------------------------------------
     # jitted graphs
     # ------------------------------------------------------------------
+    def _calibration_images(self) -> np.ndarray:
+        """Deterministic synthetic calibration batch (normalized NHWC)
+        for static-PTQ: noise at two contrasts, both gradients, and the
+        range extremes — spans the [0, 255] input range so per-layer
+        max-abs scales are not starved; calibrate_static_scales' margin
+        plus int8 saturation covers the rest."""
+        h, w = self._image_size
+        rng = np.random.RandomState(0)
+        yy = np.broadcast_to(
+            np.linspace(0.0, 255.0, h, dtype=np.float32)[:, None, None],
+            (h, w, 3))
+        xx = np.broadcast_to(
+            np.linspace(0.0, 255.0, w, dtype=np.float32)[None, :, None],
+            (h, w, 3))
+        frames = [rng.randint(0, 256, (h, w, 3)).astype(np.float32),
+                  rng.randint(96, 160, (h, w, 3)).astype(np.float32),
+                  yy, xx,
+                  np.full((h, w, 3), 255.0, np.float32),
+                  np.zeros((h, w, 3), np.float32)]
+        x = np.stack(frames) / 255.0
+        mean = np.asarray(IMAGENET_MEAN, np.float32)
+        std = np.asarray(IMAGENET_STD, np.float32)
+        return ((x - mean) / std).astype(np.float32)
+
     def _build_jits(self) -> None:
+        # quant modes resolve during model construction below ('static'
+        # after successful calibration); referenced by bench/tests
+        self._image_quant_mode = 'dynamic'
+        self._bert_quant_mode = 'dynamic'
         # Derive architecture dims from the loaded params so non-default
         # artifacts (e.g. different widths) serve correctly.
         if self.speech is not None:
@@ -538,9 +566,35 @@ class EmotionEngine:
             image_model = MobileNetV2EmotionModel(
                 dtype=self.compute_dtype, fold_bn=self._image_folded)
         else:
-            image_model = ImageEmotionModel(dtype=self.compute_dtype,
-                                            fold_bn=self._image_folded,
-                                            quant=self._image_quant)
+            # Static-PTQ calibration: one dynamic-mode forward on a
+            # deterministic synthetic batch, then per-layer act_scale
+            # params. Static scales let the quantize fuse into the
+            # producer's epilogue — the dynamic per-example scale's
+            # global reduce costs an extra materialized pass over every
+            # activation (ResNet50 b64 measured: bf16 6.01 / dynamic
+            # 5.83 / static 4.62 ms, examples/ab_int8_static.py).
+            if self._image_quant and Config.INT8_STATIC:
+                try:
+                    from mec_tpu.ops.quant import calibrate_static_scales
+                    dyn = ImageEmotionModel(dtype=self.compute_dtype,
+                                            fold_bn=True, quant=True)
+                    cal = calibrate_static_scales(
+                        dyn, self.image['variables'],
+                        (self._calibration_images(),))
+                    # re-commit: only the new act_scale scalars upload
+                    # (committed leaves pass through device_put)
+                    sh = replicated(self.mesh) if self.mesh else None
+                    self.image['variables'] = (
+                        jax.device_put(cal, sh) if sh
+                        else jax.device_put(cal))
+                    self._image_quant_mode = 'static'
+                except Exception as e:
+                    log.warning('int8 static calibration (image) failed,'
+                                ' serving dynamic scales: %s', e)
+            image_model = ImageEmotionModel(
+                dtype=self.compute_dtype, fold_bn=self._image_folded,
+                quant=self._image_quant,
+                quant_mode=self._image_quant_mode)
         fusion_kwargs = (self.fusion or {}).get('config') or {}
         fusion_model = MultiModalFusionModel(**{
             k: v for k, v in fusion_kwargs.items()
@@ -552,10 +606,35 @@ class EmotionEngine:
         # packed-output deltas measured within the existing 0.002 serving
         # tolerance) for 0.44 ms/step off the BERT stage at batch 64.
         # fp32 parity mode keeps erf (exact HF bert-base semantics).
+        # BERT static-PTQ calibration (seven keyworded sentences — one
+        # per emotion — through the real tokenizer at the max length;
+        # measured b64 seq-32: bf16 3.84 / dynamic 3.36 / static
+        # 3.14 ms, examples/ab_int8_static.py)
+        if self._bert_quant and Config.INT8_STATIC \
+                and self.bert_tokenizer is not None:
+            try:
+                from mec_tpu.ops.quant import calibrate_static_scales
+                dyn = BertForSequenceClassification(
+                    **bert_kwargs, dtype=self.compute_dtype,
+                    gelu_approximate=self.compute_dtype == jnp.bfloat16,
+                    quant=True)
+                cal_texts = [f'i feel so {e} about all of this today'
+                             for e in Config.EMOTIONS]
+                ids, mask = self.bert_tokenizer.encode_batch(
+                    cal_texts, Config.MAX_TEXT_LENGTH)
+                cal = calibrate_static_scales(dyn, self.bert['variables'],
+                                              (ids, mask))
+                sh = replicated(self.mesh) if self.mesh else None
+                self.bert['variables'] = (jax.device_put(cal, sh) if sh
+                                          else jax.device_put(cal))
+                self._bert_quant_mode = 'static'
+            except Exception as e:
+                log.warning('int8 static calibration (BERT) failed, '
+                            'serving dynamic scales: %s', e)
         bert_model = BertForSequenceClassification(
             **bert_kwargs, dtype=self.compute_dtype,
             gelu_approximate=self.compute_dtype == jnp.bfloat16,
-            quant=self._bert_quant)
+            quant=self._bert_quant, quant_mode=self._bert_quant_mode)
         if self.lstm is not None:
             p = self.lstm['variables']['params']
             lstm_model = BiLSTMTextModel(

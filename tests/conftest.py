@@ -101,6 +101,15 @@ _SLOW_NODEIDS = (
     'test_parallel_serving.py::test_moe_expert_parallel_artifact_serves',
     'test_parallel_serving.py::test_pipeline_parallel_artifact_serves',
     'test_parallel_serving.py::test_seq_parallel_artifact_serves',
+    # int8 quantization: every test touching the module-scoped ResNet50
+    # fixture (80 s init) or building engines (calibration compiles)
+    'test_quant.py::test_quantized_forward_matches_fp32',
+    'test_quant.py::test_quantized_forward_is_batch_invariant',
+    'test_quant.py::test_quantized_forward_zero_input_is_finite',
+    'test_quant.py::test_quantize_rejects_unfolded_trees',
+    'test_quant.py::test_static_scales_match_fp32_and_saturate_gracefully',
+    'test_quant.py::test_engine_bf16_quantizes_bert_artifact',
+    'test_quant.py::test_engine_bf16_quantizes_resnet_artifact',
 )
 
 

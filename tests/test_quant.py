@@ -195,6 +195,7 @@ def test_engine_bf16_quantizes_bert_artifact(tmp_path):
     r32 = fp32.predict_texts(texts)
     bf16 = _engine(str(tmp_path), 'bfloat16')
     assert bf16._bert_quant is True
+    assert bf16._bert_quant_mode == 'static'  # load-time calibration ran
     r16 = bf16.predict_texts(texts)
     for a, b in zip(r32, r16):
         np.testing.assert_allclose(np.asarray(a['all_probabilities']),
@@ -225,6 +226,7 @@ def test_engine_bf16_quantizes_resnet_artifact(tmp_path):
     r32 = fp32.predict_images(imgs)
     bf16 = _engine(str(tmp_path), 'bfloat16')
     assert bf16._image_folded is True and bf16._image_quant is True
+    assert bf16._image_quant_mode == 'static'  # load-time calibration ran
     r16 = bf16.predict_images(imgs)
     for a, b in zip(r32, r16):
         # three lossy stages stack here: YUV 4:2:0 wire chroma (random
