@@ -218,7 +218,24 @@ def run_bench():
                     c = c[0]
                 return float(c.get('flops', 0.0))
 
+            # Peak is per stage: int8-quantized stages (ops/quant.py)
+            # run their dominant matmuls/convs s8xs8->s32 on the MXU,
+            # whose v5e peak is 394 TOPS vs 197 TFLOP/s bf16. Mixed
+            # stages (stem/heads/attention stay bf16) are charged the
+            # FULL int8 peak, so their mfu_pct is conservative — it
+            # understates utilization rather than exceeding 100%.
             V5E_BF16_PEAK = 197e12
+            V5E_INT8_PEAK = 394e12
+            stage_peak = {
+                'speech': V5E_BF16_PEAK,
+                'bert': (V5E_INT8_PEAK if getattr(engine, '_bert_quant',
+                                                  False)
+                         else V5E_BF16_PEAK),
+                'image': (V5E_INT8_PEAK if getattr(engine, '_image_quant',
+                                                   False)
+                          else V5E_BF16_PEAK),
+            }
+            stage_peak['trimodal_fused'] = max(stage_peak.values())
             waves_d, ids_d, mask_d, img_d = dargs
             stages = {
                 'speech': (lambda: engine._speech_jit(
@@ -247,8 +264,9 @@ def run_bench():
                     mfu[name] = {
                         'device_ms': round(ms, 2),
                         'device_tflops': round(tflops, 2),
+                        'peak_tflops': round(stage_peak[name] / 1e12),
                         'mfu_pct': round(100 * tflops * 1e12
-                                         / V5E_BF16_PEAK, 1)}
+                                         / stage_peak[name], 1)}
                 except Exception:
                     pass
 
@@ -373,6 +391,15 @@ def run_bench():
                 p50 - med(hosts) - med(host_shots) - unpack, 2),
         }
 
+    # int8 serving quantization state (ops/quant.py): mode is 'static'
+    # after load-time calibration, 'dynamic' fallback
+    quant = {
+        'image_int8': (engine._image_quant_mode
+                       if getattr(engine, '_image_quant', False) else None),
+        'bert_int8': (engine._bert_quant_mode
+                      if getattr(engine, '_bert_quant', False) else None),
+    }
+
     # optional per-modality configs (BASELINE.json's five configurations)
     per_config = {}
     if os.environ.get('MEC_BENCH_ALL') and not past_deadline(60):
@@ -404,12 +431,12 @@ def run_bench():
                 lambda: engine.predict_image_paths(imgs)),
         }
     return (throughput, p50, batch1_rate, device_rate,
-            device_rate_b64, per_config, decomp, mfu)
+            device_rate_b64, per_config, decomp, mfu, quant)
 
 
 def main():
     (throughput, p50, batch1_rate, device_rate, device_rate_b64,
-     per_config, decomp, mfu) = run_bench()
+     per_config, decomp, mfu, quant) = run_bench()
     if MODE == 'cpu':
         print(json.dumps({'cpu_batch1_preds_per_sec': batch1_rate,
                           'cpu_batched_preds_per_sec': throughput,
@@ -419,7 +446,13 @@ def main():
     # CPU-baseline subprocess (same stack, forced CPU backend)
     cpu_b1 = cpu_batched = None
     try:
-        env = dict(os.environ, MEC_BENCH_MODE='cpu')
+        # Keep the denominator comparable across rounds: the baseline
+        # reproduces the REFERENCE's serving design, so the round-3
+        # bf16-mode knobs (conv+BN fold, int8 PTQ) stay off in the
+        # child — XLA:CPU s8xs8 convs are off the eigen fast path and
+        # the static-scale calibration compiles would eat the timeout.
+        env = dict(os.environ, MEC_BENCH_MODE='cpu', MEC_FOLD_BN='0',
+                   MEC_IMAGE_INT8='0', MEC_BERT_INT8='0')
         res = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              timeout=1800)
@@ -450,12 +483,8 @@ def main():
                                       if device_rate else None),
         'device_step_preds_per_sec_b64': (round(device_rate_b64, 1)
                                           if device_rate_b64 else None),
-        # int8 serving quantization state (ops/quant.py): mode is
-        # 'static' after load-time calibration, 'dynamic' fallback
-        'image_int8': (engine._image_quant_mode
-                       if getattr(engine, '_image_quant', False) else None),
-        'bert_int8': (engine._bert_quant_mode
-                      if getattr(engine, '_bert_quant', False) else None),
+        'image_int8': quant['image_int8'],
+        'bert_int8': quant['bert_int8'],
     }
     if decomp:
         result['p50_decomposition'] = decomp

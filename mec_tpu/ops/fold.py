@@ -45,15 +45,24 @@ def _fold_node(params_node: Dict, stats_node: Dict) -> Tuple[Dict, int]:
             continue  # consumed by its conv
         bn_name = name.replace('conv', 'bn')
         if 'conv' in name and bn_name in bn_names:
+            extra = set(val) - {'kernel', 'bias'}
+            if extra:  # a key the fold would silently drop -> refuse,
+                # the engine falls back to live batch_stats
+                raise ValueError(f'fold_conv_bn: conv {name!r} has '
+                                 f'unexpected params {sorted(extra)}')
             K = np.asarray(val['kernel'], np.float32)
             bn_p, bn_s = params_node[bn_name], stats_node[bn_name]
             s = (np.asarray(bn_p['scale'], np.float32)
                  / np.sqrt(np.asarray(bn_s['var'], np.float32) + BN_EPS))
+            # y = (conv(x) + b0 - mean) * s + beta: a conv's own bias
+            # (use_bias convs in converted artifacts) folds as (b0-mean)*s
+            b0 = (np.asarray(val['bias'], np.float32)
+                  if 'bias' in val else 0.0)
             out[name] = {
                 # HWIO: output channel last for both plain and depthwise
                 'kernel': K * s,
                 'bias': (np.asarray(bn_p['bias'], np.float32)
-                         - np.asarray(bn_s['mean'], np.float32) * s),
+                         + (b0 - np.asarray(bn_s['mean'], np.float32)) * s),
             }
             n_folded += 1
         elif isinstance(val, dict) and 'kernel' not in val \

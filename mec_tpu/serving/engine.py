@@ -147,8 +147,8 @@ class EmotionEngine:
         # 1-core host cost more than overlapping the ~175 KB upload
         # saves (host work is only ~1.3 ms). Confirms round 1. The knob
         # stays for multi-core hosts; default off.
-        self._b1_stream = os.environ.get('MEC_B1_STREAM', '0') \
-            not in ('0', 'false', 'no', 'off')
+        from mec_tpu.config import _env_flag
+        self._b1_stream = _env_flag('MEC_B1_STREAM', False)
         self.speech: Optional[Dict[str, Any]] = None
         self.bert: Optional[Dict[str, Any]] = None
         self.lstm: Optional[Dict[str, Any]] = None

@@ -74,6 +74,42 @@ def test_fold_rejects_unfoldable_trees():
         fold_conv_bn({'params': v['params'], 'batch_stats': stats})
 
 
+def test_fold_keeps_conv_own_bias():
+    """A use_bias conv before BN (legal in converted torch artifacts)
+    folds as beta + (b0 - mean) * s — the conv bias must not be
+    silently dropped."""
+    rng = np.random.RandomState(7)
+    K = rng.randn(3, 3, 4, 8).astype(np.float32)
+    b0 = rng.randn(8).astype(np.float32)
+    gamma = rng.uniform(0.5, 1.5, 8).astype(np.float32)
+    beta = rng.randn(8).astype(np.float32)
+    mean = rng.randn(8).astype(np.float32)
+    var = rng.uniform(0.25, 2.0, 8).astype(np.float32)
+    folded = fold_conv_bn({
+        'params': {'conv1': {'kernel': K, 'bias': b0},
+                   'bn1': {'scale': gamma, 'bias': beta}},
+        'batch_stats': {'bn1': {'mean': mean, 'var': var}}})
+    s = gamma / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(folded['params']['conv1']['kernel'], K * s,
+                               rtol=1e-6)
+    np.testing.assert_allclose(folded['params']['conv1']['bias'],
+                               beta + (b0 - mean) * s, rtol=1e-6)
+
+
+def test_fold_rejects_unknown_conv_params():
+    """An unrecognized conv param key must refuse to fold (the engine
+    then serves with live batch_stats) rather than drop it."""
+    with pytest.raises(ValueError, match='unexpected params'):
+        fold_conv_bn({
+            'params': {'conv1': {'kernel': np.ones((1, 1, 2, 2),
+                                                   np.float32),
+                                 'prelu': np.ones(2, np.float32)},
+                       'bn1': {'scale': np.ones(2, np.float32),
+                               'bias': np.zeros(2, np.float32)}},
+            'batch_stats': {'bn1': {'mean': np.zeros(2, np.float32),
+                                    'var': np.ones(2, np.float32)}}})
+
+
 def test_engine_bf16_folds_image_artifact(tmp_path):
     """bf16 engine folds at load and serves decisions consistent with the
     fp32 live-BN engine (the perf-mode contract, tests/test_perf_mode.py
