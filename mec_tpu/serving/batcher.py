@@ -8,9 +8,14 @@ Config.BATCH_TIMEOUT_S (or when the largest bucket fills) and runs ONE
 batched compiled graph for everything pending, padding up to the bucket
 sizes the engine has already compiled.
 
-Latency math: the timeout (default 3 ms) bounds added queueing delay;
-under load the batch effect dominates — 32 concurrent tri-modal requests
-cost one dispatch instead of 32.
+Latency math: sparse traffic pays at most one timeout slice (default
+3 ms) of added queueing delay. While NEW requests keep arriving within
+each slice, the linger extends adaptively up to Config.BATCH_MAX_LINGER_S
+(default 20 ms) so sustained concurrency coalesces into deeper device
+batches — measured on the v5e HTTP path this RAISED throughput and CUT
+p50 at 32 clients (fewer ~30 ms dispatch round trips; BASELINE.md
+"Concurrent HTTP serving"). Under load the batch effect dominates — 32
+concurrent tri-modal requests cost one dispatch instead of 32.
 
 Pipelining: each batch runs on a small worker pool (depth
 Config.BATCH_PIPELINE_DEPTH, default 2) instead of inline on the
@@ -25,6 +30,7 @@ preserved (the next batch forms from everything that arrived meanwhile).
 from __future__ import annotations
 
 import threading
+import time
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -38,11 +44,19 @@ class BatchQueue:
                  max_batch: Optional[int] = None,
                  timeout_s: Optional[float] = None,
                  name: str = 'batch',
-                 pipeline_depth: Optional[int] = None):
+                 pipeline_depth: Optional[int] = None,
+                 max_linger_s: Optional[float] = None):
         self.fn = fn
         self.max_batch = max_batch or Config.BATCH_BUCKETS[-1]
         self.timeout_s = (Config.BATCH_TIMEOUT_S if timeout_s is None
                           else timeout_s)
+        # adaptive cap: total linger while arrivals keep landing (see
+        # Config.BATCH_MAX_LINGER_S); never below timeout_s, so a
+        # caller-raised timeout keeps its exact legacy semantics
+        self.max_linger_s = max(
+            self.timeout_s,
+            Config.BATCH_MAX_LINGER_S if max_linger_s is None
+            else max_linger_s)
         self.name = name
         self.pipeline_depth = max(1, pipeline_depth
                                   or Config.BATCH_PIPELINE_DEPTH)
@@ -103,15 +117,31 @@ class BatchQueue:
             # linger so concurrent submitters join this batch — cut
             # short as soon as the largest bucket fills (the docstring's
             # 'or when the largest bucket fills' contract; a full bucket
-            # gains nothing from waiting out the timeout)
+            # gains nothing from waiting out the timeout). Adaptive
+            # extension: while NEW arrivals landed during the last
+            # timeout_s slice, keep lingering up to max_linger_s total —
+            # sustained concurrency coalesces into deeper device batches
+            # (fewer dispatch round trips) while sparse traffic still
+            # flushes after one slice.
             if self.timeout_s > 0:
+                deadline = time.monotonic() + self.max_linger_s
                 with self._lock:
-                    full = (len(self._pending) >= self.max_batch
-                            or self._stopped)
+                    n_prev = len(self._pending)
+                    full = n_prev >= self.max_batch or self._stopped
                     if not full:
                         self._full.clear()
-                if not full:
-                    self._full.wait(self.timeout_s)
+                while not full:
+                    remaining = deadline - time.monotonic()
+                    self._full.wait(min(self.timeout_s,
+                                        max(remaining, 0.0)))
+                    with self._lock:
+                        n_now = len(self._pending)
+                        full = (n_now >= self.max_batch or self._stopped)
+                    if full or n_now == n_prev:
+                        break  # bucket full, stopping, or arrivals idle
+                    if time.monotonic() >= deadline:
+                        break  # linger cap reached
+                    n_prev = n_now
             # wait for a pipeline slot BEFORE forming the batch: while
             # every worker is busy, arrivals keep coalescing into one
             # larger batch instead of many early small ones
@@ -160,19 +190,22 @@ class BatchQueue:
 class EngineBatcher:
     """Per-modality batch queues over an EmotionEngine."""
 
-    def __init__(self, engine, timeout_s: Optional[float] = None):
+    def __init__(self, engine, timeout_s: Optional[float] = None,
+                 max_linger_s: Optional[float] = None):
         self.engine = engine
         self.text = BatchQueue(lambda ts: engine.predict_texts(list(ts)),
-                               timeout_s=timeout_s, name='text')
+                               timeout_s=timeout_s, name='text',
+                               max_linger_s=max_linger_s)
         self.speech = BatchQueue(
             lambda ps: engine.predict_speech_paths(list(ps)),
-            timeout_s=timeout_s, name='speech')
+            timeout_s=timeout_s, name='speech', max_linger_s=max_linger_s)
         self.image = BatchQueue(
             lambda ps: engine.predict_image_paths(list(ps)),
-            timeout_s=timeout_s, name='image')
+            timeout_s=timeout_s, name='image', max_linger_s=max_linger_s)
         self.multimodal = BatchQueue(
             lambda rs: engine.predict_multimodal_batch(list(rs)),
-            timeout_s=timeout_s, name='multimodal')
+            timeout_s=timeout_s, name='multimodal',
+            max_linger_s=max_linger_s)
 
     def stats(self) -> Dict[str, Dict[str, int]]:
         return {name: {'batches': q.batches_run, 'items': q.items_run}

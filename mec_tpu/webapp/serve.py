@@ -24,7 +24,6 @@ def main(argv=None):
     p.add_argument('--models-dir', default=None)
     p.add_argument('--warmup', action='store_true',
                    help='compile all batch buckets before serving')
-    p.add_argument('--threads', type=int, default=8)
     args = p.parse_args(argv)
 
     app = create_app(models_dir=args.models_dir)
@@ -32,9 +31,14 @@ def main(argv=None):
         print(f'Warming up buckets {Config.BATCH_BUCKETS}...')
         app.engine.warmup(Config.BATCH_BUCKETS)
 
+    # werkzeug serves one thread per connection (there is no pool-size
+    # knob); concurrency is absorbed by the micro-batcher, whose linger
+    # coalesces simultaneous requests into one device dispatch
+    # (serving/batcher.py). Under gunicorn use --threads (see
+    # make_wsgi_app below) — still ONE worker process owning the chip.
     from werkzeug.serving import run_simple
     print(f'Serving on http://{args.host}:{args.port} '
-          f'({args.threads} threads, 1 engine)')
+          f'(thread-per-connection, 1 engine)')
     run_simple(args.host, args.port, app, threaded=True,
                processes=1, use_reloader=False)
 

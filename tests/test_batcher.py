@@ -180,3 +180,77 @@ def test_stop_during_linger_does_not_hang():
     t.join(timeout=2)
     assert elapsed < 1.5, f'stop() hung {elapsed:.1f}s (join timed out)'
     assert not q._thread.is_alive()
+
+
+def test_adaptive_linger_coalesces_staggered_arrivals():
+    """Arrivals spaced wider than one timeout slice but landing within
+    each successive slice keep the linger alive (up to max_linger_s) and
+    coalesce into one deep batch — the measured-win behavior on the v5e
+    HTTP path (BASELINE.md 'Concurrent HTTP serving')."""
+    calls = []
+
+    def fn(items):
+        calls.append(len(items))
+        return list(items)
+
+    q = BatchQueue(fn, max_batch=64, timeout_s=0.02, max_linger_s=2.0)
+    results = {}
+    try:
+        def worker(i):
+            time.sleep(0.005 * i)  # staggered over ~50 ms > one slice
+            results[i] = q.submit(i)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        q.stop()
+    assert results == {i: i for i in range(10)}
+    # a fixed 20 ms linger would have split this into several batches;
+    # the adaptive extension forms one (allow 2 for scheduler jitter)
+    assert q.batches_run <= 2
+    assert max(calls) >= 8
+
+
+def test_sparse_traffic_flushes_after_one_slice_not_the_cap():
+    """A lone request must NOT wait out max_linger_s: with no new
+    arrivals during its first slice, it flushes immediately."""
+    q = BatchQueue(lambda items: list(items), timeout_s=0.005,
+                   max_linger_s=10.0)
+    try:
+        t0 = time.perf_counter()
+        assert q.submit('x') == 'x'
+        elapsed = time.perf_counter() - t0
+    finally:
+        q.stop()
+    assert elapsed < 1.0, f'lone submit lingered {elapsed:.2f}s'
+
+
+def test_linger_cap_bounds_continuous_stream():
+    """A continuous arrival stream cannot pin the collector forever:
+    the max_linger_s deadline flushes a batch even while new items keep
+    landing every slice."""
+    q = BatchQueue(lambda items: list(items), max_batch=10_000,
+                   timeout_s=0.01, max_linger_s=0.05)
+    stop = threading.Event()
+    done = []
+    try:
+        def feeder():
+            while not stop.is_set():
+                done.append(q.submit(0))
+
+        threads = [threading.Thread(target=feeder) for _ in range(4)]
+        for t in threads:
+            t.start()
+        time.sleep(0.6)
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+    finally:
+        q.stop()
+    # the stream ran ~0.6 s against a 50 ms cap: many batches flushed
+    assert q.batches_run >= 5
+    assert len(done) == q.items_run
