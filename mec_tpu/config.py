@@ -160,6 +160,11 @@ class Config:
     # fewer ~30 ms tunnel fetch RTTs).
     BATCH_MAX_LINGER_S = float(
         os.environ.get('MEC_BATCH_MAX_LINGER_S', '0.02'))
+    # Load shedding: max requests queued per batch queue before new
+    # submissions are rejected (webapp surfaces HTTP 503 + Retry-After
+    # instead of letting queueing delay and memory grow unboundedly).
+    # 0 disables the bound. Default 8 backlogged largest buckets.
+    BATCH_MAX_PENDING = int(os.environ.get('MEC_BATCH_MAX_PENDING', '256'))
 
     # Batches in flight per queue: host prep of batch N+1 (decode,
     # tokenize, wire encode) overlaps the device round trip of batch N.

@@ -37,6 +37,12 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 from mec_tpu.config import Config
 
 
+class BatchOverloaded(RuntimeError):
+    """Raised by submit() when the queue's max_pending bound is hit —
+    load shedding: callers (the webapp) surface 503 + Retry-After
+    instead of queueing work the device cannot catch up on."""
+
+
 class BatchQueue:
     """Coalesces submit(item) calls into fn(list_of_items) invocations."""
 
@@ -45,7 +51,8 @@ class BatchQueue:
                  timeout_s: Optional[float] = None,
                  name: str = 'batch',
                  pipeline_depth: Optional[int] = None,
-                 max_linger_s: Optional[float] = None):
+                 max_linger_s: Optional[float] = None,
+                 max_pending: Optional[int] = None):
         self.fn = fn
         self.max_batch = max_batch or Config.BATCH_BUCKETS[-1]
         self.timeout_s = (Config.BATCH_TIMEOUT_S if timeout_s is None
@@ -58,6 +65,11 @@ class BatchQueue:
             Config.BATCH_MAX_LINGER_S if max_linger_s is None
             else max_linger_s)
         self.name = name
+        # load-shedding bound on queued-not-yet-batched items; <=0 means
+        # unbounded (in-flight batches are separately bounded by the
+        # pipeline-depth semaphore)
+        self.max_pending = (Config.BATCH_MAX_PENDING if max_pending is None
+                            else max_pending)
         self.pipeline_depth = max(1, pipeline_depth
                                   or Config.BATCH_PIPELINE_DEPTH)
         self._lock = threading.Lock()
@@ -80,6 +92,10 @@ class BatchQueue:
         with self._lock:
             if self._stopped:
                 raise RuntimeError('batcher stopped')
+            if 0 < self.max_pending <= len(self._pending):
+                raise BatchOverloaded(
+                    f'{self.name}: {len(self._pending)} requests queued '
+                    f'(max_pending={self.max_pending})')
             self._pending.append((item, fut))
             full = len(self._pending) >= self.max_batch
         self._wakeup.set()

@@ -36,6 +36,7 @@ from werkzeug.wrappers import Request, Response
 
 from mec_tpu.config import Config
 from mec_tpu.database import get_db
+from mec_tpu.serving.batcher import BatchOverloaded
 from mec_tpu.utils.logging_config import setup_logging
 from mec_tpu.utils.profiling import timer
 from mec_tpu.utils.security import (is_safe_redirect_url, sanitize_text,
@@ -286,6 +287,14 @@ class EmotionApp:
         except RequestEntityTooLarge:
             response = self._error_response(request, session, 413,
                                             'File too large')
+        except BatchOverloaded:
+            # load shedding: the batcher's pending bound is hit — shed
+            # THIS request with an explicit retry signal instead of
+            # queueing work the device cannot catch up on
+            response = self._error_response(
+                request, session, 503,
+                'Server overloaded, please retry')
+            response.headers['Retry-After'] = '1'
         except HTTPException as e:
             response = self._error_response(request, session,
                                             e.code or 500, e.description)

@@ -254,3 +254,47 @@ def test_linger_cap_bounds_continuous_stream():
     # the stream ran ~0.6 s against a 50 ms cap: many batches flushed
     assert q.batches_run >= 5
     assert len(done) == q.items_run
+
+
+def test_overload_sheds_when_pending_bound_hit():
+    """Load shedding: once max_pending items are queued, submit raises
+    BatchOverloaded instead of growing the queue (the webapp surfaces
+    503 + Retry-After)."""
+    from mec_tpu.serving.batcher import BatchOverloaded
+
+    def slow(items):
+        time.sleep(0.4)
+        return list(items)
+
+    q = BatchQueue(slow, max_batch=1, timeout_s=0.001, pipeline_depth=1,
+                   max_pending=2)
+    results, shed = [], []
+    try:
+        def worker(i):
+            try:
+                results.append(q.submit(i))
+            except BatchOverloaded:
+                shed.append(i)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+            time.sleep(0.05)
+        for t in threads:
+            t.join()
+    finally:
+        q.stop()
+    # 6 arrivals at 50 ms spacing vs 400 ms/batch and a 2-deep queue:
+    # some must be shed, the rest must be answered
+    assert shed, 'expected at least one shed request'
+    assert len(results) + len(shed) == 6
+
+
+def test_max_pending_zero_disables_shedding():
+    q = BatchQueue(lambda items: list(items), max_batch=64,
+                   timeout_s=0.01, max_pending=0)
+    try:
+        assert [q.submit(i) for i in range(100)] == list(range(100))
+    finally:
+        q.stop()

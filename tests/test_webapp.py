@@ -440,3 +440,19 @@ def test_force_https_redirect(client, monkeypatch):
     assert r.status_code == 200
     monkeypatch.setattr(Config, 'FORCE_HTTPS', False)
     assert client.get('/login').status_code == 200
+
+
+def test_overloaded_batcher_returns_503_with_retry_after(client, app):
+    """Load shedding surfaces as HTTP 503 + Retry-After on API routes
+    (and an error page on HTML routes) when the batcher's pending bound
+    is hit, instead of unbounded queueing."""
+    from mec_tpu.serving.batcher import BatchOverloaded
+
+    def overloaded(item):
+        raise BatchOverloaded('text: 256 requests queued')
+    app.batcher.text.submit = overloaded
+
+    r = client.post('/api/predict/text', json={'text': 'hello there'})
+    assert r.status_code == 503
+    assert r.headers['Retry-After'] == '1'
+    assert 'overloaded' in r.json['error'].lower()
