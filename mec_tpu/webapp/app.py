@@ -225,6 +225,24 @@ class EmotionApp:
         fileobj.save(path)
         return path
 
+    def _submit(self, port, payload, *upload_paths):
+        """Submit to a batcher port; on load shed, delete the uploads.
+
+        A shed request produces no prediction record, so files written
+        by _save_upload before the submit would be orphans — under
+        sustained overload disk grows while the server returns 503s.
+        """
+        try:
+            return port.submit(payload)
+        except BatchOverloaded:
+            for p in upload_paths:
+                if p:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+            raise
+
     def _record(self, session: Session, input_type: str,
                 result: Dict[str, Any], column: str,
                 file_path: Optional[str] = None) -> None:
@@ -427,7 +445,8 @@ class EmotionApp:
             path = self._save_upload(request.files.get('audio_file'),
                                      'audio')
             if path:
-                result = clean_result(self.batcher.speech.submit(path))
+                result = clean_result(
+                    self._submit(self.batcher.speech, path, path))
                 self._record(session, 'speech', result, 'speech', path)
                 return self.render(session, 'results.html',
                                    modality='speech', result=result)
@@ -458,7 +477,8 @@ class EmotionApp:
             path = self._save_upload(request.files.get('image_file'),
                                      'image')
             if path:
-                result = clean_result(self.batcher.image.submit(path))
+                result = clean_result(
+                    self._submit(self.batcher.image, path, path))
                 self._record(session, 'image', result, 'image', path)
                 return self.render(session, 'results.html',
                                    modality='image', result=result,
@@ -477,9 +497,10 @@ class EmotionApp:
             image_path = self._save_upload(request.files.get('image_file'),
                                            'image')
             text = request.form.get('text_input')
-            results = self.batcher.multimodal.submit(
+            results = self._submit(
+                self.batcher.multimodal,
                 {'audio_path': audio_path, 'text': text,
-                 'image_path': image_path})
+                 'image_path': image_path}, audio_path, image_path)
             self._save_multimodal(session, results)
             results = {k: clean_result(v) for k, v in results.items()}
             return self.render(session, 'results.html',
@@ -621,7 +642,7 @@ class EmotionApp:
         path = self._save_upload(request.files['audio'], 'audio')
         if not path:
             return jsonify({'error': 'invalid file'}, 400)
-        result = clean_result(self.batcher.speech.submit(path))
+        result = clean_result(self._submit(self.batcher.speech, path, path))
         self._record(session, 'speech', result, 'speech', path)
         return jsonify(result)
 
@@ -641,7 +662,7 @@ class EmotionApp:
         path = self._save_upload(request.files['image'], 'image')
         if not path:
             return jsonify({'error': 'invalid file'}, 400)
-        result = clean_result(self.batcher.image.submit(path))
+        result = clean_result(self._submit(self.batcher.image, path, path))
         self._record(session, 'image', result, 'image', path)
         return jsonify(result)
 
@@ -650,9 +671,10 @@ class EmotionApp:
             (request.get_json(silent=True) or {}).get('text')
         audio_path = self._save_upload(request.files.get('audio'), 'audio')
         image_path = self._save_upload(request.files.get('image'), 'image')
-        results = self.batcher.multimodal.submit(
+        results = self._submit(
+            self.batcher.multimodal,
             {'audio_path': audio_path, 'text': text,
-             'image_path': image_path})
+             'image_path': image_path}, audio_path, image_path)
         self._save_multimodal(session, results)
         return jsonify({k: clean_result(v) for k, v in results.items()})
 

@@ -24,7 +24,15 @@ def main(argv=None):
     p.add_argument('--models-dir', default=None)
     p.add_argument('--warmup', action='store_true',
                    help='compile all batch buckets before serving')
+    # deprecated no-op: werkzeug serves one thread per connection with no
+    # pool-size knob; kept so launch scripts written for the old flag (or
+    # for gunicorn-style CLIs) don't fail with an argparse error
+    p.add_argument('--threads', type=int, default=None,
+                   help=argparse.SUPPRESS)
     args = p.parse_args(argv)
+    if args.threads is not None:
+        print('warning: --threads is deprecated and ignored '
+              '(thread-per-connection server)', flush=True)
 
     app = create_app(models_dir=args.models_dir)
     if args.warmup:

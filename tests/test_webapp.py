@@ -456,3 +456,27 @@ def test_overloaded_batcher_returns_503_with_retry_after(client, app):
     assert r.status_code == 503
     assert r.headers['Retry-After'] == '1'
     assert 'overloaded' in r.json['error'].lower()
+
+
+def test_shed_request_deletes_orphan_upload(client, app):
+    """A load-shed upload request must not leave its just-saved file on
+    disk: no prediction row references it, so under sustained overload
+    disk would grow while the server only returns 503s."""
+    from mec_tpu.config import Config
+    from mec_tpu.serving.batcher import BatchOverloaded
+
+    def overloaded(item):
+        raise BatchOverloaded('speech: 256 requests queued')
+    app.batcher.speech.submit = overloaded
+    app.batcher.multimodal.submit = overloaded
+
+    r = client.post('/api/predict/speech', data={
+        'audio': (io.BytesIO(_wav_bytes()), 'clip.wav')})
+    assert r.status_code == 503
+    assert os.listdir(Config.UPLOAD_FOLDER) == []
+
+    r = client.post('/api/predict/multimodal', data={
+        'text': 'still overloaded',
+        'audio': (io.BytesIO(_wav_bytes()), 'clip.wav')})
+    assert r.status_code == 503
+    assert os.listdir(Config.UPLOAD_FOLDER) == []
