@@ -43,12 +43,26 @@ class InvertedResidual(nn.Module):
     # serve with BN pre-folded into conv kernels+biases
     # (ops/fold.fold_conv_bn); inference-only
     fold_bn: bool = False
+    # serve the folded 1x1 expand/project convs as int8 (s8 x s8 -> s32
+    # on the MXU; ops/quant.py). The depthwise 3x3 stays in
+    # compute_dtype — feature_group_count=C lowers to VPU elementwise
+    # lanes, where int8 buys no rate and adds quantize traffic. Implies
+    # fold_bn; inference-only. quant_mode as in resnet.Bottleneck.
+    quant: bool = False
+    quant_mode: str = 'dynamic'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # `train` is positional (not keyword-only) so nn.remat's
         # static_argnums can reach it
-        conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
+        if self.quant:
+            from mec_tpu.models.qconv import QuantConv
+            conv = partial(QuantConv, dtype=self.dtype,
+                           mode=self.quant_mode)
+        else:
+            conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
+        # depthwise is never quantized (see `quant` above)
+        dwconv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
         if self.fold_bn:
             def bn(name):
                 return lambda h: h
@@ -60,9 +74,9 @@ class InvertedResidual(nn.Module):
         if self.expand != 1:
             out = conv(hidden, (1, 1), name='expand_conv')(out)
             out = jax.nn.relu6(bn(name='expand_bn')(out))
-        out = conv(hidden, (3, 3), strides=(self.stride, self.stride),
-                   padding=((1, 1), (1, 1)), feature_group_count=hidden,
-                   name='dw_conv')(out)
+        out = dwconv(hidden, (3, 3), strides=(self.stride, self.stride),
+                     padding=((1, 1), (1, 1)), feature_group_count=hidden,
+                     name='dw_conv')(out)
         out = jax.nn.relu6(bn(name='dw_bn')(out))
         out = conv(self.out_ch, (1, 1), name='project_conv')(out)
         out = bn(name='project_bn')(out)
@@ -79,6 +93,13 @@ class MobileNetV2EmotionModel(nn.Module):
     # Inference-only: expects ops/fold.fold_conv_bn-transformed params
     # (convs carry biases, no BatchNorm collections); see resnet.py
     fold_bn: bool = False
+    # Inference-only, requires fold_bn: the 1x1 expand/project convs and
+    # conv_head run as int8 (they carry ~2/3 of the ~0.6 GFLOP and are
+    # plain MXU matmuls). conv_stem (3 input channels pad 125/128 of an
+    # MXU tile), the depthwise 3x3 stacks (VPU-bound), and the head
+    # Dense layers stay in compute_dtype. quant_mode as in resnet.py.
+    quant: bool = False
+    quant_mode: str = 'dynamic'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False
@@ -89,7 +110,15 @@ class MobileNetV2EmotionModel(nn.Module):
         """
         if self.fold_bn and train:
             raise ValueError('fold_bn is inference-only')
+        if self.quant and not self.fold_bn:
+            raise ValueError('quant requires fold_bn (BN-folded params)')
         conv = partial(nn.Conv, use_bias=self.fold_bn, dtype=self.dtype)
+        if self.quant:
+            from mec_tpu.models.qconv import QuantConv
+            qconv = partial(QuantConv, dtype=self.dtype,
+                            mode=self.quant_mode)
+        else:
+            qconv = conv
         if self.fold_bn:
             def bn(name):
                 return lambda h: h
@@ -107,10 +136,11 @@ class MobileNetV2EmotionModel(nn.Module):
             for i in range(n):
                 x = block_cls(in_ch, c, s if i == 0 else 1, t,
                               dtype=self.dtype, fold_bn=self.fold_bn,
+                              quant=self.quant, quant_mode=self.quant_mode,
                               name=f'block_{idx}')(x, train)
                 in_ch = c
                 idx += 1
-        x = conv(1280, (1, 1), name='conv_head')(x)
+        x = qconv(1280, (1, 1), name='conv_head')(x)
         x = jax.nn.relu6(bn(name='bn_head')(x))
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 1280)
         # custom head, same pattern as the reference's ResNet wrapper

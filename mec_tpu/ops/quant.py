@@ -36,10 +36,11 @@ from typing import Dict
 
 import numpy as np
 
-# top-level modules never quantized: the stem conv (ResNet50 'conv1')
-# and the classifier head. Nested bottleneck convs (layer*_*/conv1 etc.)
-# are matched by the recursion, not by these names.
-_SKIP_TOP = ('conv1', 'fc1', 'fc2')
+# top-level modules never quantized: the stem conv (ResNet50 'conv1' /
+# MobileNetV2 'conv_stem' — 3 input channels pad 125/128 of an MXU
+# tile) and the classifier head. Nested bottleneck convs
+# (layer*_*/conv1 etc.) are matched by the recursion, not these names.
+_SKIP_TOP = ('conv1', 'conv_stem', 'fc1', 'fc2')
 
 
 def quantize_conv(node: Dict) -> Dict:
@@ -56,8 +57,13 @@ def quantize_conv(node: Dict) -> Dict:
 
 
 def _is_folded_conv(name: str, val) -> bool:
-    return ('conv' in name and isinstance(val, dict) and 'kernel' in val
-            and 'bias' in val and np.ndim(val['kernel']) == 4)
+    if not ('conv' in name and isinstance(val, dict) and 'kernel' in val
+            and 'bias' in val and np.ndim(val['kernel']) == 4):
+        return False
+    # depthwise convs (HWIO in-per-group == 1, e.g. MobileNetV2
+    # block_*/dw_conv) stay in compute_dtype: feature_group_count=C
+    # lowers to VPU elementwise lanes where int8 has no rate advantage
+    return np.shape(val['kernel'])[-2] != 1
 
 
 def _quantize_node(node: Dict, top: bool) -> Dict:
@@ -129,6 +135,13 @@ def quantize_bert_params(variables: Dict) -> Dict:
     return dict(variables, params=params)
 
 
+# incremented by every calibrate_static_scales run (each one compiles a
+# dynamic-mode graph — ~minutes through the axon tunnel on a fresh
+# compile cache); tests assert it stays flat when scales come from the
+# artifact cache (extract/insert_static_scales)
+CALIBRATION_RUNS = 0
+
+
 def calibrate_static_scales(model_dynamic, variables, apply_args,
                             margin: float = 1.25) -> Dict:
     """Static-PTQ calibration: one forward of the DYNAMIC-mode model on
@@ -140,6 +153,9 @@ def calibrate_static_scales(model_dynamic, variables, apply_args,
     resolution — 1.25 keeps full int8 resolution for anything within
     25% of the calibration range."""
     import jax
+
+    global CALIBRATION_RUNS
+    CALIBRATION_RUNS += 1
 
     @jax.jit
     def _run(v, *a):
@@ -166,3 +182,54 @@ def calibrate_static_scales(model_dynamic, variables, apply_args,
         return new
 
     return dict(variables, params=insert(variables['params'], inter))
+
+
+def extract_static_scales(calibrated: Dict) -> Dict[str, float]:
+    """Calibrated params tree -> flat ``{'a/b/c': act_scale}`` dict —
+    the tiny artifact-cacheable product of calibrate_static_scales (the
+    expensive part is its dynamic-mode compile, ~minutes through the
+    tunnel on a fresh compile cache; serving/engine.py persists these
+    into the .mecp meta so later engine builds skip it entirely)."""
+    out: Dict[str, float] = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            if isinstance(v, dict) and 'act_scale' in v:
+                out[prefix + k] = float(np.asarray(v['act_scale']))
+            elif isinstance(v, dict):
+                walk(v, prefix + k + '/')
+    walk(calibrated['params'], '')
+    if not out:
+        raise ValueError('no act_scale params found (not a static-'
+                         'calibrated tree)')
+    return out
+
+
+def insert_static_scales(variables: Dict, scales: Dict[str, float]) -> Dict:
+    """Inverse of extract_static_scales: place cached ``act_scale``
+    scalars next to every quantized (``kernel_q``) node of an
+    int8-quantized params tree. Raises if any quantized layer has no
+    cached scale (layer-set drift => the cache is stale; recalibrate)."""
+    missing = []
+
+    def walk(node, prefix):
+        new = {}
+        for k, v in node.items():
+            if isinstance(v, dict) and 'kernel_q' in v:
+                s = scales.get(prefix + k)
+                if s is None:
+                    missing.append(prefix + k)
+                    new[k] = v
+                else:
+                    new[k] = dict(v, act_scale=np.float32(s))
+            elif isinstance(v, dict):
+                new[k] = walk(v, prefix + k + '/')
+            else:
+                new[k] = v
+        return new
+
+    params = walk(variables['params'], '')
+    if missing:
+        raise ValueError(f'cached scales missing for {missing[:3]}'
+                         f'{"..." if len(missing) > 3 else ""}')
+    return dict(variables, params=params)

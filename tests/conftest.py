@@ -110,6 +110,13 @@ _SLOW_NODEIDS = (
     'test_quant.py::test_static_scales_match_fp32_and_saturate_gracefully',
     'test_quant.py::test_engine_bf16_quantizes_bert_artifact',
     'test_quant.py::test_engine_bf16_quantizes_resnet_artifact',
+    'test_quant.py::test_engine_bf16_quantizes_mobilenet_artifact',
+    'test_quant.py::test_engine_scale_cache_skips_recalibration',
+    'test_quant.py::test_mobilenet_quant_covers_matmul_convs_only',
+    'test_quant.py::test_mobilenet_quantized_forward_matches_fp32',
+    'test_quant.py::test_mobilenet_static_scales_match_fp32',
+    'test_quant.py::test_scale_extract_insert_roundtrip',
+    'test_bench_contract.py::test_b1_phases_sum_to_call_wall_time',
 )
 
 

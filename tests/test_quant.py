@@ -205,6 +205,94 @@ def test_engine_bf16_quantizes_bert_artifact(tmp_path):
             assert a['emotion'] == b['emotion']
 
 
+@pytest.fixture(scope='module')
+def folded_mobilenet():
+    from mec_tpu.models.mobilenet import MobileNetV2EmotionModel
+    model = MobileNetV2EmotionModel()
+    variables = _random_stats(model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=True))
+    return variables, fold_conv_bn(variables)
+
+
+def test_mobilenet_quant_covers_matmul_convs_only(folded_mobilenet):
+    """MobileNetV2 int8 scope (round-3 VERDICT item 2): the 1x1
+    expand/project convs and conv_head (plain MXU matmuls, ~2/3 of its
+    FLOPs) quantize; the stem, depthwise 3x3s (VPU-bound), and head
+    Dense layers stay in compute_dtype."""
+    _, folded = folded_mobilenet
+    q = quantize_image_params(folded)['params']
+    assert 'kernel' in q['conv_stem'] and 'kernel_q' not in q['conv_stem']
+    assert 'kernel_q' in q['conv_head']
+    assert 'kernel' in q['fc1']
+    blk = q['block_2']  # block_1 has expand==1 (no expand conv)
+    assert 'kernel_q' in blk['expand_conv']
+    assert 'kernel_q' in blk['project_conv']
+    assert 'kernel' in blk['dw_conv'] and 'kernel_q' not in blk['dw_conv']
+
+
+def test_mobilenet_quantized_forward_matches_fp32(folded_mobilenet):
+    from mec_tpu.models.mobilenet import MobileNetV2EmotionModel
+    variables, folded = folded_mobilenet
+    x = np.random.RandomState(0).randn(4, 64, 64, 3).astype(np.float32)
+    want, _ = MobileNetV2EmotionModel().apply(
+        {'params': variables['params'],
+         'batch_stats': variables['batch_stats']}, x)
+    q = quantize_image_params(folded)
+    got, _ = MobileNetV2EmotionModel(fold_bn=True, quant=True).apply(q, x)
+    pw = np.asarray(jax.nn.softmax(want))
+    pg = np.asarray(jax.nn.softmax(got))
+    np.testing.assert_allclose(pg, pw, atol=0.05)
+    confident = pw.max(-1) > 0.5
+    assert (pw.argmax(-1) == pg.argmax(-1))[confident].all()
+
+
+def test_mobilenet_static_scales_match_fp32(folded_mobilenet):
+    from mec_tpu.models.mobilenet import MobileNetV2EmotionModel
+    from mec_tpu.ops.quant import calibrate_static_scales
+    variables, folded = folded_mobilenet
+    x = np.random.RandomState(0).randn(4, 64, 64, 3).astype(np.float32)
+    q = quantize_image_params(folded)
+    qs = calibrate_static_scales(
+        MobileNetV2EmotionModel(fold_bn=True, quant=True), q, (x[:2],))
+    want, _ = MobileNetV2EmotionModel().apply(
+        {'params': variables['params'],
+         'batch_stats': variables['batch_stats']}, x)
+    got, _ = MobileNetV2EmotionModel(fold_bn=True, quant=True,
+                                     quant_mode='static').apply(qs, x)
+    pw = np.asarray(jax.nn.softmax(want))
+    pg = np.asarray(jax.nn.softmax(got))
+    np.testing.assert_allclose(pg, pw, atol=0.05)
+    wild, _ = MobileNetV2EmotionModel(fold_bn=True, quant=True,
+                                      quant_mode='static').apply(qs, 5.0 * x)
+    assert np.isfinite(np.asarray(wild)).all()
+
+
+def test_scale_extract_insert_roundtrip(folded_resnet):
+    """The .mecp scale cache (serving/engine.py) persists only the
+    act_scale scalars; insert must reproduce the calibrated tree
+    exactly and reject a cache missing any quantized layer."""
+    from mec_tpu.ops.quant import (calibrate_static_scales,
+                                   extract_static_scales,
+                                   insert_static_scales)
+    _, folded = folded_resnet
+    x = np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    q = quantize_image_params(folded)
+    qs = calibrate_static_scales(
+        ImageEmotionModel(fold_bn=True, quant=True), q, (x,))
+    scales = extract_static_scales(qs)
+    assert len(scales) == 52  # 16 blocks x 3 convs + 4 downsample convs
+    qs2 = insert_static_scales(q, scales)
+    got, _ = ImageEmotionModel(fold_bn=True, quant=True,
+                               quant_mode='static').apply(qs2, x)
+    want, _ = ImageEmotionModel(fold_bn=True, quant=True,
+                                quant_mode='static').apply(qs, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    bad = dict(scales)
+    bad.pop(next(iter(bad)))
+    with pytest.raises(ValueError, match='missing'):
+        insert_static_scales(q, bad)
+
+
 def test_engine_bf16_quantizes_resnet_artifact(tmp_path):
     """bf16 engine folds + quantizes a ResNet50 artifact at load and
     serves decisions consistent with the fp32 live-BN engine."""
@@ -239,3 +327,75 @@ def test_engine_bf16_quantizes_resnet_artifact(tmp_path):
                                    atol=0.08)
         if a['confidence'] > 0.6:
             assert a['emotion'] == b['emotion']
+
+
+def test_engine_bf16_quantizes_mobilenet_artifact(tmp_path):
+    """bf16 engine folds + int8-quantizes a MobileNetV2 artifact too
+    (round-3 VERDICT item 2 lifted the blanket skip); decisions stay
+    consistent with the fp32 live-BN engine."""
+    from mec_tpu.convert import store
+    from mec_tpu.models.mobilenet import MobileNetV2EmotionModel
+
+    img_size = 32
+    variables = _random_stats(MobileNetV2EmotionModel().init(
+        jax.random.PRNGKey(1), jnp.zeros((1, img_size, img_size, 3)),
+        train=True), seed=7)
+    store.save_params(
+        store.native_path(str(tmp_path / 'image_model.pt')), variables,
+        meta={'arch': 'mobilenet_v2', 'img_size': img_size})
+
+    from tests.test_perf_mode import _engine
+    imgs = np.random.RandomState(2).randint(
+        0, 255, (3, img_size, img_size, 3), np.uint8)
+    fp32 = _engine(str(tmp_path), 'float32')
+    assert fp32._image_quant is False
+    r32 = fp32.predict_images(imgs)
+    bf16 = _engine(str(tmp_path), 'bfloat16')
+    assert bf16._image_folded is True and bf16._image_quant is True
+    assert bf16._image_quant_mode == 'static'
+    r16 = bf16.predict_images(imgs)
+    for a, b in zip(r32, r16):
+        np.testing.assert_allclose(np.asarray(a['all_probabilities']),
+                                   np.asarray(b['all_probabilities']),
+                                   atol=0.08)
+        if a['confidence'] > 0.6:
+            assert a['emotion'] == b['emotion']
+
+
+def test_engine_scale_cache_skips_recalibration(tmp_path):
+    """Round-3 VERDICT item 4: first bf16 engine build calibrates and
+    persists act scales into the .mecp meta; a SECOND build from the
+    same artifacts runs ZERO calibration compiles (the ~5 min cold-start
+    cost becomes one-time) and serves identical outputs."""
+    from mec_tpu.ops import quant as quant_mod
+    from mec_tpu.serving.synthetic_artifacts import write_synthetic_artifacts
+    from tests.test_perf_mode import _engine
+
+    write_synthetic_artifacts(str(tmp_path), tiny=True, image_size=32)
+    e1 = _engine(str(tmp_path), 'bfloat16')
+    assert e1._image_quant_mode == 'static'
+    assert e1._bert_quant_mode == 'static'
+    assert e1._image_scales_cached is False  # first build calibrated
+    runs_after_first = quant_mod.CALIBRATION_RUNS
+    assert runs_after_first >= 2  # image + bert
+
+    e2 = _engine(str(tmp_path), 'bfloat16')
+    assert quant_mod.CALIBRATION_RUNS == runs_after_first  # zero new
+    assert e2._image_scales_cached is True
+    assert e2._bert_scales_cached is True
+    assert e2._image_quant_mode == 'static'
+    assert e2._bert_quant_mode == 'static'
+
+    imgs = np.random.RandomState(0).randint(0, 255, (2, 32, 32, 3),
+                                            np.uint8)
+    r1 = e1.predict_images(imgs)
+    r2 = e2.predict_images(imgs)
+    for a, b in zip(r1, r2):
+        np.testing.assert_allclose(np.asarray(a['all_probabilities']),
+                                   np.asarray(b['all_probabilities']),
+                                   atol=1e-6)
+    t1 = e1.predict_texts(['i am so happy today'])
+    t2 = e2.predict_texts(['i am so happy today'])
+    np.testing.assert_allclose(np.asarray(t1[0]['all_probabilities']),
+                               np.asarray(t2[0]['all_probabilities']),
+                               atol=1e-6)
