@@ -36,11 +36,11 @@ def trained(tmp_path_factory):
     db = get_db(str(work / 'e2e.db'), reload=True)
 
     # Accuracy gates are pinned to what these deterministic corpora
-    # MEASURE (2026-08-19, this exact fixture, seeds fixed end-to-end),
-    # minus a safety margin — not to the 1/7 chance rate (round-2
-    # VERDICT item 1: a trainer that silently lost most of its
-    # capability must FAIL here). Measured: speech 1.00, lstm 0.571,
-    # bert 1.00, image 0.286, fusion 0.648.
+    # MEASURE (this exact fixture, seeds fixed end-to-end), minus a
+    # safety margin — not to the 1/7 chance rate (round-2 VERDICT
+    # item 1: a trainer that silently lost most of its capability must
+    # FAIL here). Measured: speech 1.00, lstm 0.571, bert 1.00,
+    # image 0.857 (mobilenet_v2@48px, 2026-08-20), fusion 0.648.
     speech_root = make_speech_corpus(str(work / 'speech'), per_class=8)
     from mec_tpu.training import train_speech
     _, _, hist = train_speech.train(
@@ -67,16 +67,24 @@ def trained(tmp_path_factory):
         models_dir=os.path.join(models_dir, 'bert_model'), verbose=False)
     assert max(hist['val_acc']) > 0.85, hist['val_acc']
 
-    imgs, img_labels = make_image_corpus(img_size=48, per_class=8)
+    imgs, img_labels = make_image_corpus(img_size=48, per_class=12)
     from mec_tpu.training import train_image
+    # MobileNetV2 at the corpus-native 48 px (round-3 VERDICT item 5):
+    # converges where the 6-epoch from-scratch ResNet50 leg plateaued
+    # at 0.286 and its >0.20 gate could only catch a DEAD trainer.
+    # Measured under the exact conftest env (8 virtual CPU devices,
+    # 2026-08-20): steady climb through 0.5 by epoch ~10, 0.929-1.0 by
+    # epoch 24. 0.5 is measured-minus-margin, >3.5x the chance rate —
+    # a substantially degraded trainer now fails here. (lr 3e-3 was
+    # measured CHAOTIC — best-acc swung 0.5 vs 0.857 across float-op
+    # orderings; 1e-3 converges monotonically.)
     _, hist = train_image.train(
         data_root=None, imgs=imgs, labels=img_labels, img_size=48,
-        epochs=6, phase1_epochs=1, batch_size=16, learning_rate=1e-3,
-        models_dir=models_dir, bf16=False, verbose=False)
-    # from-scratch ResNet50 on 56 images in 6 epochs only gets so far;
-    # 0.286 measured — the gate catches a dead trainer, not a weak one
+        epochs=24, phase1_epochs=2, batch_size=16, learning_rate=1e-3,
+        models_dir=models_dir, bf16=False, verbose=False,
+        arch='mobilenet_v2')
     assert max(hist['phase1']['val_acc']
-               + hist['phase2']['val_acc']) > 0.20, hist
+               + hist['phase2']['val_acc']) > 0.5, hist
 
     from mec_tpu.training import train_fusion
     dataset = train_fusion.generate_synthetic_data(
@@ -174,7 +182,7 @@ def test_multimodal_and_metrics_over_http(served, trained):
     # defines this table but never writes it)
     metrics = served.get('/api/metrics').json
     names = {m['model'] for m in metrics['models']}
-    assert {'speech_dnn', 'lstm_text', 'bert_text', 'image_resnet50',
+    assert {'speech_dnn', 'lstm_text', 'bert_text', 'image_mobilenet_v2',
             'fusion_attention'} <= names, names
     assert all(m['accuracy'] is None or 0.0 <= m['accuracy'] <= 1.0
                for m in metrics['models'])
