@@ -12,12 +12,22 @@ concurrency COALESCES into bigger device batches instead.
 
 Per (route, concurrency) level prints one JSON line:
   {"route", "concurrency", "requests", "throughput_rps", "p50_ms",
-   "p95_ms", "errors", "avg_device_batch"}
+   "p95_ms", "shed", "errors", "avg_device_batch", "phases_ms"}
 avg_device_batch is items/batches from the batcher's own counters over
-the level — the measured coalescing factor.
+the level — the measured coalescing factor. throughput_rps counts
+SUCCESSFUL (200) responses only; "shed" counts live 503 load-shed
+responses separately from transport "errors". phases_ms is the p50 of
+each serving phase over the level from the process StageTimer: queue
+wait (submit -> batch formation), batch run, and — tri-modal — the
+decode/wire staging and the device dispatch+fetch inside the batch.
+
+A final shed level (--shed / default with --modality both|multimodal)
+re-runs the tri-modal route with the queue's pending bound temporarily
+lowered below the client count, so the 503/Retry-After shed path is
+observed LIVE through HTTP, not just unit-tested.
 
 Usage: python examples/load_http.py [--modality text|multimodal|both]
-       [--levels 1,8,32] [--requests N] [--port 8899]
+       [--levels 1,8,32] [--requests N] [--port 8899] [--shed]
 
 Note: this 1-core bench host runs clients, WSGI threads, and host
 preprocessing on the same core, so absolute numbers are conservative;
@@ -62,7 +72,10 @@ def _multipart(fields, files):
 
 
 def _post(url, body, content_type, want_key):
-    """One HTTP POST; returns (ok, latency_ms)."""
+    """One HTTP POST; returns (outcome, latency_ms) with outcome one of
+    'ok' (200 + expected key), 'shed' (503 load shed), 'error'
+    (transport failure / unexpected status or payload)."""
+    import urllib.error
     import urllib.request
     req = urllib.request.Request(
         url, data=body, headers={'Content-Type': content_type})
@@ -70,18 +83,29 @@ def _post(url, body, content_type, want_key):
     try:
         with urllib.request.urlopen(req, timeout=120) as resp:
             payload = json.loads(resp.read())
-            ok = resp.status == 200 and want_key in payload
+            out = ('ok' if resp.status == 200 and want_key in payload
+                   else 'error')
+    except urllib.error.HTTPError as e:
+        out = 'shed' if e.code == 503 else 'error'
     except Exception:
-        ok = False
-    return ok, (time.perf_counter() - t0) * 1e3
+        out = 'error'
+    return out, (time.perf_counter() - t0) * 1e3
+
+
+# StageTimer phase names surfaced per level (p50 over the level)
+_PHASES = ('batcher.text.queue_wait_ms', 'batcher.text.run',
+           'batcher.multimodal.queue_wait_ms', 'batcher.multimodal.run',
+           'trimodal.decode_stage_ms', 'trimodal.dispatch_fetch')
 
 
 def run_level(url, body, content_type, want_key, concurrency, n,
               batcher_queue):
+    from mec_tpu.utils.profiling import timer
     # warm this route once (bucket compile is prepaid by engine.warmup,
     # but the first request still builds sessions/DB state)
     _post(url, body, content_type, want_key)
     b0, i0 = batcher_queue.batches_run, batcher_queue.items_run
+    timer.reset()
     results = []
     lock = threading.Lock()
 
@@ -94,18 +118,25 @@ def run_level(url, body, content_type, want_key, concurrency, n,
     with ThreadPoolExecutor(concurrency) as pool:
         list(pool.map(one, range(n)))
     wall = time.perf_counter() - t0
-    lat = sorted(ms for ok, ms in results if ok)
-    errors = sum(1 for ok, _ in results if not ok)
+    lat = sorted(ms for out, ms in results if out == 'ok')
+    shed = sum(1 for out, _ in results if out == 'shed')
+    errors = sum(1 for out, _ in results if out == 'error')
     batches = batcher_queue.batches_run - b0
     items = batcher_queue.items_run - i0
+    phases = {k.split('.', 1)[1]: round(v['p50_ms'], 1)
+              for k, v in timer.summary().items() if k in _PHASES}
     return {
         'concurrency': concurrency,
         'requests': n,
+        # successful-request throughput: 200s / level wall clock (the
+        # wall includes shed+error time, so this is what a client saw)
         'throughput_rps': round(len(lat) / wall, 1),
         'p50_ms': round(lat[len(lat) // 2], 1) if lat else None,
         'p95_ms': round(lat[int(len(lat) * 0.95)], 1) if lat else None,
+        'shed': shed,
         'errors': errors,
         'avg_device_batch': round(items / batches, 1) if batches else None,
+        'phases_ms': phases,
     }
 
 
@@ -118,6 +149,11 @@ def main(argv=None):
                    help='requests per concurrency level')
     p.add_argument('--port', type=int, default=8899)
     p.add_argument('--models-dir', default=None)
+    p.add_argument('--shed', action='store_true', default=None,
+                   help='run one extra tri-modal level with the pending '
+                        'bound lowered below the client count so the '
+                        'live 503 shed path is observed (default when '
+                        'the multimodal route is benched)')
     args = p.parse_args(argv)
     levels = [int(x) for x in args.levels.split(',')]
 
@@ -156,6 +192,28 @@ def main(argv=None):
             r = run_level(url, body, ctype, want_key, k, args.requests,
                           queue)
             r['route'] = name
+            print(json.dumps(r), flush=True)
+
+    # live shed level: drop the tri-modal queue's pending bound below
+    # the client count so BatchOverloaded -> HTTP 503 + Retry-After
+    # fires under real load (unit tests cover the mechanics; this
+    # observes it through the full HTTP path)
+    want_shed = args.shed or (args.shed is None
+                              and args.modality in ('multimodal', 'both'))
+    if want_shed:
+        mm = next((r for r in routes if r[0] == 'multimodal'), None)
+        if mm is not None:
+            _, url, body, ctype, want_key, queue = mm
+            k = max(levels)
+            old_pending = queue.max_pending
+            queue.max_pending = max(2, k // 8)
+            try:
+                r = run_level(url, body, ctype, want_key, k,
+                              args.requests, queue)
+            finally:
+                queue.max_pending = old_pending
+            r['route'] = 'multimodal[shed]'
+            r['max_pending'] = max(2, k // 8)
             print(json.dumps(r), flush=True)
 
     server.shutdown()

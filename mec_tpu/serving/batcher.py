@@ -35,6 +35,7 @@ from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 from mec_tpu.config import Config
+from mec_tpu.utils.profiling import timer
 
 
 class BatchOverloaded(RuntimeError):
@@ -73,7 +74,7 @@ class BatchQueue:
         self.pipeline_depth = max(1, pipeline_depth
                                   or Config.BATCH_PIPELINE_DEPTH)
         self._lock = threading.Lock()
-        self._pending: List[Tuple[Any, Future]] = []
+        self._pending: List[Tuple[Any, Future, float]] = []
         self._wakeup = threading.Event()
         self._full = threading.Event()   # largest bucket reached
         self._stopped = False
@@ -96,7 +97,7 @@ class BatchQueue:
                 raise BatchOverloaded(
                     f'{self.name}: {len(self._pending)} requests queued '
                     f'(max_pending={self.max_pending})')
-            self._pending.append((item, fut))
+            self._pending.append((item, fut, time.perf_counter()))
             full = len(self._pending) >= self.max_batch
         self._wakeup.set()
         if full:
@@ -181,19 +182,27 @@ class BatchQueue:
                 # an answer instead of hanging forever
                 self._run_batch(batch)
 
-    def _run_batch(self, batch: List[Tuple[Any, Future]]) -> None:
+    def _run_batch(self, batch: List[Tuple[Any, Future, float]]) -> None:
         try:
+            # per-item queue wait (submit -> batch start) + per-batch run
+            # time land in the process StageTimer: surfaced by
+            # /api/metrics and examples/load_http.py's phase breakdown
+            now = time.perf_counter()
+            for _, _, t_sub in batch:
+                timer.record(f'batcher.{self.name}.queue_wait_ms',
+                             (now - t_sub) * 1e3)
             items = [b[0] for b in batch]
             try:
-                results = self.fn(items)
+                with timer.span(f'batcher.{self.name}.run'):
+                    results = self.fn(items)
                 if len(results) != len(items):
                     raise RuntimeError(
                         f'batch fn returned {len(results)} results '
                         f'for {len(items)} items')
-                for (_, fut), res in zip(batch, results):
+                for (_, fut, _t), res in zip(batch, results):
                     fut.set_result(res)
             except Exception as e:  # pragma: no cover - defensive
-                for _, fut in batch:
+                for _, fut, _t in batch:
                     if not fut.done():
                         fut.set_exception(e)
             with self._lock:

@@ -36,6 +36,16 @@ class StageTimer:
                 if len(buf) > self.capacity:
                     del buf[:len(buf) - self.capacity]
 
+    def record(self, name: str, ms: float) -> None:
+        """Record an externally-measured duration (same aggregation as
+        span(); for waits whose start lives on another thread, e.g. the
+        batcher's submit->batch-formation queue time)."""
+        with self._lock:
+            buf = self._spans[name]
+            buf.append(ms)
+            if len(buf) > self.capacity:
+                del buf[:len(buf) - self.capacity]
+
     def summary(self) -> Dict[str, Dict[str, float]]:
         out = {}
         with self._lock:

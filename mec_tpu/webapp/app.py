@@ -497,10 +497,14 @@ class EmotionApp:
             image_path = self._save_upload(request.files.get('image_file'),
                                            'image')
             text = request.form.get('text_input')
-            results = self._submit(
-                self.batcher.multimodal,
+            # decode uploads HERE, in the request thread, so batch
+            # formation never waits on host decode (the decodes release
+            # the GIL; concurrent requests decode in parallel)
+            payload = self.engine.predecode_multimodal(
                 {'audio_path': audio_path, 'text': text,
-                 'image_path': image_path}, audio_path, image_path)
+                 'image_path': image_path})
+            results = self._submit(self.batcher.multimodal, payload,
+                                   audio_path, image_path)
             self._save_multimodal(session, results)
             results = {k: clean_result(v) for k, v in results.items()}
             return self.render(session, 'results.html',
@@ -671,10 +675,12 @@ class EmotionApp:
             (request.get_json(silent=True) or {}).get('text')
         audio_path = self._save_upload(request.files.get('audio'), 'audio')
         image_path = self._save_upload(request.files.get('image'), 'image')
-        results = self._submit(
-            self.batcher.multimodal,
+        # request-thread decode: see predict_multimodal (HTML twin)
+        payload = self.engine.predecode_multimodal(
             {'audio_path': audio_path, 'text': text,
-             'image_path': image_path}, audio_path, image_path)
+             'image_path': image_path})
+        results = self._submit(self.batcher.multimodal, payload,
+                               audio_path, image_path)
         self._save_multimodal(session, results)
         return jsonify({k: clean_result(v) for k, v in results.items()})
 

@@ -53,13 +53,16 @@ def test_text_level_coalesces_and_reports(served_app):
                      json.dumps({'text': 'i am so happy today'}).encode(),
                      'application/json', 'emotion', concurrency=4, n=12,
                      batcher_queue=app.batcher.text)
-    assert r['errors'] == 0
+    assert r['errors'] == 0 and r['shed'] == 0
     assert r['requests'] == 12
     assert r['throughput_rps'] > 0
     assert r['p50_ms'] is not None and r['p95_ms'] >= r['p50_ms']
     # 4 concurrent closed-loop clients against a 3 ms linger must form
     # at least one multi-item device batch
     assert r['avg_device_batch'] >= 1.0
+    # phase breakdown from the StageTimer: queue wait + batch run
+    assert 'text.queue_wait_ms' in r['phases_ms']
+    assert 'text.run' in r['phases_ms']
 
 
 def test_multimodal_multipart_level(served_app, tmp_path):
@@ -79,5 +82,37 @@ def test_multimodal_multipart_level(served_app, tmp_path):
     r = lh.run_level(f'{base}/api/predict/multimodal', body, ctype,
                      'fusion', concurrency=2, n=6,
                      batcher_queue=app.batcher.multimodal)
-    assert r['errors'] == 0
+    assert r['errors'] == 0 and r['shed'] == 0
     assert r['avg_device_batch'] >= 1.0
+    assert 'multimodal.queue_wait_ms' in r['phases_ms']
+
+
+def test_live_shed_level_counts_503s(served_app, tmp_path):
+    """The shed level (pending bound below the client count) produces
+    real 503s through the full HTTP path, counted separately from
+    transport errors (ADVICE round 3)."""
+    app, base = served_app
+    lh = _load_module()
+    queue = app.batcher.multimodal
+    # no artifacts -> the fallback path is fast; stall the batch fn so
+    # the queue actually backs up under 6 concurrent clients
+    orig_fn = queue.fn
+    import time as _time
+
+    def slow_fn(items):
+        _time.sleep(0.05)
+        return orig_fn(items)
+    queue.fn = slow_fn
+    old_pending = queue.max_pending
+    queue.max_pending = 1
+    try:
+        r = lh.run_level(f'{base}/api/predict/multimodal',
+                         json.dumps({'text': 'angry storms'}).encode(),
+                         'application/json', 'text', concurrency=6,
+                         n=18, batcher_queue=queue)
+    finally:
+        queue.max_pending = old_pending
+        queue.fn = orig_fn
+    assert r['shed'] > 0          # live 503s observed
+    assert r['errors'] == 0       # and none mislabeled as transport
+    assert r['requests'] == 18
