@@ -283,6 +283,44 @@ class TestLiveServing:
         assert 'fusion' in out[0] and 'fusion' in out[2]
         assert set(out[1]) == {'text'}
 
+    def test_trimodal_batch_predecoded_matches_paths(self, live_engine,
+                                                     tmp_path):
+        """Request-thread predecode (engine.predecode_multimodal, used
+        by the webapp so batch formation never waits on host decode):
+        pre-decoded wave/image arrays produce bit-identical results to
+        the path-decoding batch path, and a failed predecode degrades
+        exactly like a bad upload."""
+        from PIL import Image
+        audio = _tone_wav(tmp_path, 'pd.wav')
+        img_p = str(tmp_path / 'pd.png')
+        Image.fromarray(np.full((32, 32, 3), 96, np.uint8)).save(img_p)
+        raw = {'audio_path': audio, 'text': 'what a happy surprise',
+               'image_path': img_p}
+        pre = live_engine.predecode_multimodal(raw)
+        assert pre.get('wave') is not None
+        assert pre.get('image') is not None
+        assert pre['image'].shape == (*live_engine._image_size, 3)
+        out_paths = live_engine.predict_multimodal_batch([raw, raw])
+        out_pre = live_engine.predict_multimodal_batch([pre, pre])
+        np.testing.assert_array_equal(
+            out_pre[0]['fusion']['all_probabilities'],
+            out_paths[0]['fusion']['all_probabilities'])
+        np.testing.assert_array_equal(
+            out_pre[1]['image']['all_probabilities'],
+            out_paths[1]['image']['all_probabilities'])
+
+        # failed predecode keeps only the path; the batch path
+        # re-attempts and degrades that request down the ladder
+        bad = str(tmp_path / 'bad.png')
+        with open(bad, 'wb') as f:
+            f.write(b'not an image')
+        broken = live_engine.predecode_multimodal(
+            dict(raw, image_path=bad))
+        assert broken.get('image') is None
+        out = live_engine.predict_multimodal_batch([broken])
+        assert out[0]['image']['emotion'] == 'neutral'  # fallback ladder
+        assert out[0]['image']['confidence'] == pytest.approx(0.9)
+
     def test_facade_extract_features_shapes(self, live_engine, tmp_path):
         from mec_tpu.inference.speech_inference import SpeechInference
         feat, pred = SpeechInference().extract_features(
