@@ -327,14 +327,28 @@ def run_bench():
                             # FLOP-weighted harmonic blend of the stage
                             # peaks; fusion-net extra FLOPs (beyond the
                             # three encoders) are charged at bf16
-                            extra = max(flops - sum(
-                                flops_by_stage.get(s, 0.0)
-                                for s in ('speech', 'bert', 'image')), 0.0)
-                            denom = sum(
-                                flops_by_stage.get(s, 0.0) / stage_peak[s]
-                                for s in ('speech', 'bert', 'image'))
-                            denom += extra / V5E_BF16_PEAK
-                            peak = flops / denom if denom else V5E_BF16_PEAK
+                            enc = ('speech', 'bert', 'image')
+                            if all(s in flops_by_stage for s in enc):
+                                extra = max(flops - sum(
+                                    flops_by_stage[s] for s in enc), 0.0)
+                                denom = sum(flops_by_stage[s]
+                                            / stage_peak[s] for s in enc)
+                                denom += extra / V5E_BF16_PEAK
+                                peak = (flops / denom if denom
+                                        else V5E_BF16_PEAK)
+                            else:
+                                # a stage's cost analysis failed above:
+                                # blending would silently charge its
+                                # FLOPs at the wrong peak — fall back to
+                                # the conservative full max peak and say
+                                # so (no silent caps)
+                                missing = [s for s in enc
+                                           if s not in flops_by_stage]
+                                print(f'bench: cost analysis missing for '
+                                      f'{missing}; fused peak falls back '
+                                      f'to max stage peak',
+                                      file=sys.stderr)
+                                peak = max(stage_peak.values())
                         else:
                             peak = stage_peak[name]
                         ms = _chained_ms(step_fn)
@@ -377,12 +391,20 @@ def run_bench():
     engine.predict_multimodal(wav_path, text, img_path)  # bucket-1 compile
     lat = []
     phase_samples = {}
+    phase_walls = []  # wall times of the reps that DID record phases
     for _ in range(LATENCY_REPS if MODE == 'tpu' else 8):
+        # cleared per rep: a rep whose fused path degrades to the
+        # per-modality ladder records NO phases, and must not silently
+        # pair the previous rep's phases with this rep's wall time
+        engine._last_b1_phases = {}
         t0 = time.perf_counter()
         engine.predict_multimodal(wav_path, text, img_path)
-        lat.append((time.perf_counter() - t0) * 1000)
-        for k, v in getattr(engine, '_last_b1_phases', {}).items():
-            phase_samples.setdefault(k, []).append(v)
+        wall = (time.perf_counter() - t0) * 1000
+        lat.append(wall)
+        if engine._last_b1_phases:
+            phase_walls.append(wall)
+            for k, v in engine._last_b1_phases.items():
+                phase_samples.setdefault(k, []).append(v)
         if past_deadline(30):
             break
     p50 = float(np.median(lat))
@@ -482,8 +504,8 @@ def run_bench():
         b1 = {k: round(med(v), 2) for k, v in phase_samples.items()}
         rep_sums = [sum(vals) for vals in zip(*phase_samples.values())] \
             if phase_samples else []
-        n_pair = min(len(lat), len(rep_sums))
-        overhead = [lat[i] - rep_sums[i] for i in range(n_pair)]
+        n_pair = min(len(phase_walls), len(rep_sums))
+        overhead = [phase_walls[i] - rep_sums[i] for i in range(n_pair)]
         decomp = {
             'fetch_rtt_ms': round(med(rtts), 2),
             'host_preprocess_ms': round(med(hosts), 2),

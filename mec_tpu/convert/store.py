@@ -24,9 +24,24 @@ def save_params(path: str, variables: Dict[str, Any],
     payload = serialization.msgpack_serialize(
         {'variables': variables, 'meta': meta or {}})
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, 'wb') as f:
-        f.write(MAGIC)
-        f.write(payload)
+    # write-to-temp + atomic rename: .mecp files are live serving
+    # artifacts that get re-saved in place (e.g. the engine persisting
+    # int8 calibration scales into the meta) — a SIGKILL mid-write or
+    # two processes racing must never leave a truncated artifact, and
+    # _load_native_or does not fall back to re-converting when a
+    # (corrupt) native file exists
+    tmp = f'{path}.tmp.{os.getpid()}'
+    try:
+        with open(tmp, 'wb') as f:
+            f.write(MAGIC)
+            f.write(payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def load_params(path: str) -> Dict[str, Any]:

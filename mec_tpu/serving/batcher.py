@@ -104,6 +104,13 @@ class BatchQueue:
             self._full.set()
         return fut.result()
 
+    def overloaded(self) -> bool:
+        """Cheap pre-admission probe: True when the pending bound is
+        currently hit. Callers use it to skip optional work (e.g.
+        request-thread decode) for requests that are about to be shed;
+        submit() re-checks under the lock (authoritative)."""
+        return 0 < self.max_pending <= len(self._pending)
+
     def stop(self) -> None:
         with self._lock:
             self._stopped = True

@@ -1254,10 +1254,12 @@ class EmotionEngine:
             waves = wav.load_and_fix_length(audio_path)[0][None, :]
             t1 = pc()
             w_arg = self._put(self._wire_waves(waves, b))
+            t1b = pc()
             ids, mask = self._seq_slice(*self.bert_tokenizer.encode_batch(
                 [text], Config.MAX_TEXT_LENGTH))
             t2 = pc()
             t_args = self._put((_pad_rows(ids, b), _pad_rows(mask, b)))
+            t2b = pc()
             img = load_image_uint8(image_path, self._image_size)[None]
             t3 = pc()
             i_arg = self._put(self._wire_image(img, b))
@@ -1268,8 +1270,14 @@ class EmotionEngine:
                 self._fusion_dispatch_vars,
                 w_arg, *t_args, i_arg))[0]
             t5 = pc()
-            phases = {'wav_load': t1 - t0, 'tokenize_put': t2 - t1,
-                      'image_load': t3 - t2, 'wire_encode_put': t4 - t3,
+            # each put (encode + async device_put dispatch, milliseconds
+            # on a 1-core host — see _put) is accounted to ONE phase, so
+            # the decomposition never misattributes put cost to
+            # tokenize/image_load
+            phases = {'wav_load': t1 - t0, 'tokenize': t2 - t1b,
+                      'image_load': t3 - t2b,
+                      'wire_encode_put': (t1b - t1) + (t2b - t2)
+                      + (t4 - t3),
                       'dispatch_fetch': t5 - t4}
         else:
             waves = wav.load_and_fix_length(audio_path)[0][None, :]

@@ -29,12 +29,7 @@ class StageTimer:
         try:
             yield
         finally:
-            dt = (time.perf_counter() - t0) * 1000.0
-            with self._lock:
-                buf = self._spans[name]
-                buf.append(dt)
-                if len(buf) > self.capacity:
-                    del buf[:len(buf) - self.capacity]
+            self.record(name, (time.perf_counter() - t0) * 1000.0)
 
     def record(self, name: str, ms: float) -> None:
         """Record an externally-measured duration (same aggregation as

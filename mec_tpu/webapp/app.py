@@ -225,6 +225,23 @@ class EmotionApp:
         fileobj.save(path)
         return path
 
+    def _multimodal_payload(self, audio_path, text, image_path):
+        """Build the tri-modal batcher payload, decoding uploads HERE
+        in the request thread (so batch formation never waits on host
+        decode; the decodes release the GIL, so concurrent requests
+        decode in parallel) — but only when the request is FULL
+        tri-modal (the fused batch path consumes the arrays; partial
+        requests fall back to per-modality path decoding, which would
+        ignore them and decode twice) and only when the queue is not
+        about to shed it (decoding a request that gets a 503 spends
+        exactly the CPU the backlog needs to drain)."""
+        payload = {'audio_path': audio_path, 'text': text,
+                   'image_path': image_path}
+        if (audio_path and text and image_path
+                and not self.batcher.multimodal.overloaded()):
+            payload = self.engine.predecode_multimodal(payload)
+        return payload
+
     def _submit(self, port, payload, *upload_paths):
         """Submit to a batcher port; on load shed, delete the uploads.
 
@@ -497,12 +514,8 @@ class EmotionApp:
             image_path = self._save_upload(request.files.get('image_file'),
                                            'image')
             text = request.form.get('text_input')
-            # decode uploads HERE, in the request thread, so batch
-            # formation never waits on host decode (the decodes release
-            # the GIL; concurrent requests decode in parallel)
-            payload = self.engine.predecode_multimodal(
-                {'audio_path': audio_path, 'text': text,
-                 'image_path': image_path})
+            payload = self._multimodal_payload(audio_path, text,
+                                               image_path)
             results = self._submit(self.batcher.multimodal, payload,
                                    audio_path, image_path)
             self._save_multimodal(session, results)
@@ -675,10 +688,7 @@ class EmotionApp:
             (request.get_json(silent=True) or {}).get('text')
         audio_path = self._save_upload(request.files.get('audio'), 'audio')
         image_path = self._save_upload(request.files.get('image'), 'image')
-        # request-thread decode: see predict_multimodal (HTML twin)
-        payload = self.engine.predecode_multimodal(
-            {'audio_path': audio_path, 'text': text,
-             'image_path': image_path})
+        payload = self._multimodal_payload(audio_path, text, image_path)
         results = self._submit(self.batcher.multimodal, payload,
                                audio_path, image_path)
         self._save_multimodal(session, results)

@@ -362,6 +362,24 @@ def test_engine_bf16_quantizes_mobilenet_artifact(tmp_path):
             assert a['emotion'] == b['emotion']
 
 
+def test_store_save_params_is_atomic_overwrite(tmp_path):
+    """save_params writes via temp + os.replace: re-saving a live
+    artifact in place (the engine persists int8 scales into the .mecp
+    meta) can never leave a truncated file, and no .tmp files linger."""
+    import os
+    from mec_tpu.convert import store
+    p = str(tmp_path / 'a.mecp')
+    store.save_params(p, {'params': {'w': np.arange(4, dtype=np.float32)}},
+                      meta={'k': 1})
+    store.save_params(p, {'params': {'w': np.arange(8, dtype=np.float32)}},
+                      meta={'k': 2})
+    loaded = store.load_params(p)
+    np.testing.assert_array_equal(loaded['variables']['params']['w'],
+                                  np.arange(8, dtype=np.float32))
+    assert loaded['meta'] == {'k': 2}
+    assert not [f for f in os.listdir(tmp_path) if '.tmp' in f]
+
+
 def test_engine_scale_cache_skips_recalibration(tmp_path):
     """Round-3 VERDICT item 4: first bf16 engine build calibrates and
     persists act scales into the .mecp meta; a SECOND build from the

@@ -458,6 +458,38 @@ def test_overloaded_batcher_returns_503_with_retry_after(client, app):
     assert 'overloaded' in r.json['error'].lower()
 
 
+def test_predecode_skipped_for_partial_and_overloaded_requests(app,
+                                                               tmp_path):
+    """Request-thread predecode only runs for FULL tri-modal requests
+    (the fused batch path consumes the arrays; partial requests would
+    decode twice) and is skipped when the queue is about to shed (a
+    503'd request must not burn the decode CPU the backlog needs)."""
+    from mec_tpu.ops import wav as wav_ops
+    wav_path = str(tmp_path / 'p.wav')
+    wav_ops.write_wav(wav_path, np.zeros(22050, np.float32), 22050)
+    from PIL import Image
+    img_path = str(tmp_path / 'p.png')
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(img_path)
+
+    full = app._multimodal_payload(wav_path, 'hello', img_path)
+    assert full.get('wave') is not None and full.get('image') is not None
+
+    partial = app._multimodal_payload(wav_path, None, img_path)
+    assert 'wave' not in partial and 'image' not in partial
+
+    q = app.batcher.multimodal
+    old = q.max_pending
+    q.max_pending = 1
+    q._pending.append(('x', None, 0.0))  # simulate a full queue
+    try:
+        assert q.overloaded()
+        shed = app._multimodal_payload(wav_path, 'hello', img_path)
+        assert 'wave' not in shed and 'image' not in shed
+    finally:
+        q._pending.pop()
+        q.max_pending = old
+
+
 def test_shed_request_deletes_orphan_upload(client, app):
     """A load-shed upload request must not leave its just-saved file on
     disk: no prediction row references it, so under sustained overload
