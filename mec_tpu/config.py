@@ -254,6 +254,15 @@ class Config:
     # scales (zero calibration, batch-invariant, perf-neutral).
     INT8_STATIC = _env_flag('MEC_INT8_STATIC', True)
 
+    # Space-to-depth ResNet50 stem (models/resnet._stem_conv_s2d:
+    # exact rewrite packing 2x2x3=12 input channels for 4x MXU lane
+    # use). Measured NEGATIVE on the v5e (2026-08-21, chain A/B at the
+    # int8 image stage: s2d 3.97 vs standard 3.85 ms at b64, 2.00 vs
+    # 1.88 at b32) — XLA:TPU already handles the 3-channel stem well
+    # and the input reshape/transpose costs a materialized pass.
+    # Default OFF; knob kept for other hardware/XLA versions.
+    STEM_S2D = _env_flag('MEC_STEM_S2D', False)
+
     # Perf-mode host audio featurization: compute the 56-dim frontend on
     # the host (C++ single-pass, mec_tpu/native/audiofeat.cpp) and ship
     # 224 B of features per clip instead of the ~99 KB packed waveform.

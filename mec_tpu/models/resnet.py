@@ -23,6 +23,56 @@ from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
+
+
+def _stem_conv_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
+                   bias: jnp.ndarray | None, dtype) -> jnp.ndarray:
+    """The 7x7/2 stem conv as a 2x2 space-to-depth + 4x4/1 conv.
+
+    Exact algebraic rewrite (same MACs, regrouped): the standard stem
+    contracts only 3 input channels — 3/128 of an MXU lane tile — and
+    chain-measured ~0.6-0.7 ms of the 1.0 ms stem+pool at batch 64
+    (examples/profile_image_stages.py). Space-to-depth packs 2x2x3=12
+    input channels, 4x better lane use, same bytes.
+
+    Derivation: y[p,q] = sum_{i,j=0..6} W[i,j] x[2p+i-3, 2q+j-3].
+    Front-pad the kernel to 8 taps (W'[0]=0, W'[i]=W[i-1]) so the
+    window [2p-4, 2p+3] aligns to 2-blocks [p-2, p+1]; with
+    X2[m] = (x[2m], x[2m+1]) channel-stacked this is a 4x4 stride-1
+    conv with pad (2,1). Requires even H, W (caller guards)."""
+    B, H, W, C = x.shape
+    k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, C, O)
+    O = kernel.shape[-1]
+    v = k.reshape(4, 2, 4, 2, C, O).transpose(0, 2, 1, 3, 4, 5) \
+         .reshape(4, 4, 4 * C, O)
+    x2 = x.reshape(B, H // 2, 2, W // 2, 2, C) \
+          .transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+    dn = lax.conv_dimension_numbers(x2.shape, v.shape,
+                                    ('NHWC', 'HWIO', 'NHWC'))
+    y = lax.conv_general_dilated(
+        x2.astype(dtype), v.astype(dtype), (1, 1), ((2, 1), (2, 1)),
+        dimension_numbers=dn)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+class _StemS2D(nn.Module):
+    """Drop-in stem conv via _stem_conv_s2d: declares the exact
+    ``kernel``/``bias`` params of the folded ``nn.Conv`` stem (the
+    artifact tree loads unchanged)."""
+    features: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (7, 7, cin, self.features))
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,))
+        return _stem_conv_s2d(x, kernel, bias, self.dtype)
 
 
 class Bottleneck(nn.Module):
@@ -96,6 +146,11 @@ class ImageEmotionModel(nn.Module):
     # MXU tile / negligible FLOPs). quant_mode as in Bottleneck.
     quant: bool = False
     quant_mode: str = 'dynamic'
+    # Inference-only, requires fold_bn: run the stem conv via the
+    # space-to-depth rewrite (_stem_conv_s2d; exact same math, 4x MXU
+    # lane use). Param tree unchanged — the (7,7,3,64) kernel is
+    # transformed inside the graph (37k floats, free at trace time).
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False
@@ -109,8 +164,16 @@ class ImageEmotionModel(nn.Module):
         if self.quant and not self.fold_bn:
             raise ValueError('quant requires fold_bn (BN-folded params)')
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=self.fold_bn, dtype=self.dtype, name='conv1')(x)
+        if self.stem_s2d and self.fold_bn \
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # same param names/shapes as the nn.Conv branch, so the
+            # folded artifact tree loads unchanged
+            x = _StemS2D(dtype=self.dtype, name='conv1')(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)),
+                        use_bias=self.fold_bn, dtype=self.dtype,
+                        name='conv1')(x)
         if not self.fold_bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype, name='bn1')(x)

@@ -624,7 +624,8 @@ class EmotionEngine:
                                               fold_bn=True, quant=True)
             else:
                 dyn = ImageEmotionModel(dtype=self.compute_dtype,
-                                        fold_bn=True, quant=True)
+                                        fold_bn=True, quant=True,
+                                        stem_s2d=Config.STEM_S2D)
             cal = calibrate_static_scales(dyn, self.image['variables'],
                                           (self._calibration_images(),))
             self._scales_cache_put(self._image_native_path, key,
@@ -711,10 +712,17 @@ class EmotionEngine:
             except Exception as e:
                 log.warning('int8 static calibration (image) failed,'
                             ' serving dynamic scales: %s', e)
-        image_model = image_cls(
-            dtype=self.compute_dtype, fold_bn=self._image_folded,
-            quant=self._image_quant,
-            quant_mode=self._image_quant_mode)
+        image_kwargs = dict(dtype=self.compute_dtype,
+                            fold_bn=self._image_folded,
+                            quant=self._image_quant,
+                            quant_mode=self._image_quant_mode)
+        if image_cls is ImageEmotionModel:
+            # space-to-depth stem (exact; Config.STEM_S2D) — bf16
+            # folded serving only; MobileNetV2's 3x3 stem has no
+            # 7x7/2 to rewrite
+            image_kwargs['stem_s2d'] = (Config.STEM_S2D
+                                        and self._image_folded)
+        image_model = image_cls(**image_kwargs)
         fusion_kwargs = (self.fusion or {}).get('config') or {}
         fusion_model = MultiModalFusionModel(**{
             k: v for k, v in fusion_kwargs.items()

@@ -57,6 +57,31 @@ def test_fold_matches_live_batch_stats_fp32(arch):
                                np.asarray(want_feat), atol=1e-4)
 
 
+def test_stem_s2d_matches_standard_conv():
+    """The space-to-depth stem (models/resnet._stem_conv_s2d,
+    Config.STEM_S2D) is an exact algebraic rewrite of the 7x7/2 conv:
+    same params tree, logits within fp32 summation-order noise."""
+    import jax.numpy as jnp
+    from mec_tpu.models.resnet import ImageEmotionModel
+    x = np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    live = ImageEmotionModel()
+    variables = _random_stats(live.init(jax.random.PRNGKey(0),
+                                        jnp.asarray(x), train=True))
+    folded = fold_conv_bn(variables)
+    want, wfeat = ImageEmotionModel(fold_bn=True).apply(folded, x)
+    got, gfeat = ImageEmotionModel(fold_bn=True,
+                                   stem_s2d=True).apply(folded, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gfeat), np.asarray(wfeat),
+                               atol=1e-4)
+    # odd input sizes fall back to the standard conv (guard, not crash)
+    x_odd = np.random.RandomState(1).randn(1, 63, 63, 3).astype(np.float32)
+    lo, _ = ImageEmotionModel(fold_bn=True, stem_s2d=True).apply(
+        folded, x_odd)
+    assert np.isfinite(np.asarray(lo)).all()
+
+
 def test_fold_rejects_unfoldable_trees():
     with pytest.raises(ValueError, match='no .conv, bn. pairs'):
         fold_conv_bn({'params': {'fc1': {'kernel': np.ones((2, 2)),
