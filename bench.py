@@ -44,6 +44,11 @@ DEADLINE_S = float(os.environ.get('MEC_BENCH_DEADLINE_S', '1380'))
 TPU_ITERS = int(os.environ.get('MEC_BENCH_ITERS', '12'))
 CPU_ITERS = int(os.environ.get('MEC_BENCH_CPU_ITERS', '3'))
 LATENCY_REPS = int(os.environ.get('MEC_BENCH_LATENCY_REPS', '30'))
+# sidecar for the full (large) result dict; the printed line stays small
+FULL_RESULTS_PATH = os.environ.get(
+    'MEC_BENCH_FULL_PATH',
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 'bench_full.json'))
 
 
 def prepare_assets(tmp: str):
@@ -200,45 +205,31 @@ def run_bench():
         else:
             device_rate_b64 = None
 
-        # Roofline accounting (round-3 VERDICT item 1): XLA's own cost
-        # analysis gives FLOPs AND bytes-accessed per compiled graph;
-        # against the measured DEVICE step time that yields MFU (vs
-        # the stage's MXU peak) and HBM-bandwidth utilization (vs the
-        # v5e's 819 GB/s), so every stage is labeled compute-bound vs
-        # bandwidth-bound — at BOTH the b32 latency bucket and the b64
-        # throughput bucket. Per modality + fused.
+        # Roofline accounting (round-4 VERDICT item 1): MFU from XLA
+        # cost-analysis FLOPs vs the stage's MXU peak, and HBM
+        # utilization from a PHYSICAL traffic model (memory_analysis
+        # buffers: args + outputs + 2x temp arena) vs the MEASURED
+        # achievable stream bandwidth (mec_tpu/utils/roofline.py) — the
+        # round-4 version divided logical bytes-accessed by the paper
+        # peak and reported impossible 120-232% utilizations. Every
+        # stage is labeled compute vs bandwidth bound at BOTH the b32
+        # latency bucket and the b64 throughput bucket.
         #
-        # Timing method: fori_loop CHAIN — K data-dependent iterations
-        # inside ONE jit, one scalar fetch (examples/profile_audio.py).
-        # Per-dispatch timing (the pre-round-4 method) includes ~0.9 ms
-        # of host dispatch overhead per call through the axon tunnel,
-        # which inflated every stage's device_ms and understated MFU
-        # (measured: serving audio frontend 1.01 ms chained vs 2.31 ms
-        # per-dispatch); in pipelined serving that host cost overlaps
-        # device execution.
+        # Timing method: fori_loop-chain SLOPE — wall(k2)-wall(k1) over
+        # k2-k1 cancels the constant fetch-RTT term a single chain
+        # divides into every iteration (~0.3 ms at k=100 through this
+        # tunnel). Per-dispatch timing is worse still (~0.9 ms host
+        # dispatch overhead per call, measured round 4).
         if not past_deadline(90):
-            import jax.numpy as _jnp
+            from mec_tpu.utils import roofline
 
-            def _chained_ms(call_with_eps, k=100, reps=3):
-                @jax.jit
-                def run():
-                    def body(i, c):
-                        out = call_with_eps(c * _jnp.float32(1e-30))
-                        # full reduction over EVERY leaf: chaining on
-                        # out[0] lets XLA slice(concat)->operand0 and
-                        # dead-code the other branches (measured)
-                        s = sum(_jnp.sum(le.astype(_jnp.float32))
-                                for le in jax.tree_util.tree_leaves(out))
-                        return c + s * _jnp.float32(0.0)
-                    return jax.lax.fori_loop(0, k, body, _jnp.float32(0.0))
-
-                float(run())
-                best = float('inf')
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    float(run())
-                    best = min(best, (time.perf_counter() - t0) / k * 1e3)
-                return best
+            hbm_gbps = None
+            try:
+                hbm_gbps = round(roofline.measure_hbm_gbps(), 1)
+            except Exception as e:
+                print(f'bench: HBM probe failed ({e}); hbm_bw_pct will '
+                      f'use the {roofline.V5E_HBM_PAPER_GBPS} GB/s paper '
+                      f'peak', file=sys.stderr)
 
             def _perturb_leaf(tree, path, eps):
                 # the perturbed leaf must feed the ENTIRE graph (an
@@ -258,13 +249,6 @@ def run_bench():
                     return (w[0], w[1] + eps)
                 return w + eps
 
-            def _costs(jitted, *args):
-                c = jitted.lower(*args).compile().cost_analysis()
-                if isinstance(c, (list, tuple)):  # older jax versions
-                    c = c[0]
-                return (float(c.get('flops', 0.0)),
-                        float(c.get('bytes accessed', 0.0)))
-
             # Peak is per stage: int8-quantized stages (ops/quant.py)
             # run their dominant matmuls/convs s8xs8->s32 on the MXU,
             # whose v5e peak is 394 TOPS vs 197 TFLOP/s bf16. Mixed
@@ -274,9 +258,8 @@ def run_bench():
             # fused stage's peak is FLOP-weighted across its stages'
             # peaks (harmonic blend), so fused mfu is comparable across
             # int8-on and int8-off runs.
-            V5E_BF16_PEAK = 197e12
-            V5E_INT8_PEAK = 394e12
-            V5E_HBM_GBPS = 819.0
+            V5E_BF16_PEAK = roofline.V5E_BF16_PEAK
+            V5E_INT8_PEAK = roofline.V5E_INT8_PEAK
             stage_peak = {
                 'speech': V5E_BF16_PEAK,
                 'bert': (V5E_INT8_PEAK if getattr(engine, '_bert_quant',
@@ -321,7 +304,9 @@ def run_bench():
                 flops_by_stage = {}
                 for name, (step_fn, cost_args) in stages.items():
                     try:
-                        flops, nbytes = _costs(cost_args[0], *cost_args[1:])
+                        traffic = roofline.hbm_traffic_bytes(
+                            cost_args[0].lower(*cost_args[1:]).compile())
+                        flops = traffic['flops']
                         flops_by_stage[name] = flops
                         if name == 'trimodal_fused':
                             # FLOP-weighted harmonic blend of the stage
@@ -351,21 +336,39 @@ def run_bench():
                                 peak = max(stage_peak.values())
                         else:
                             peak = stage_peak[name]
-                        ms = _chained_ms(step_fn)
+                        ms = roofline.chain_slope_ms(step_fn, reps=2)
                         tflops = flops / (ms * 1e-3) / 1e12
-                        gbps = nbytes / (ms * 1e-3) / 1e9
+                        gbps = traffic['model_bytes'] / (ms * 1e-3) / 1e9
                         mfu_pct = 100 * tflops * 1e12 / peak
-                        bw_pct = 100 * gbps / V5E_HBM_GBPS
-                        out[name] = {
+                        bw_den = hbm_gbps or roofline.V5E_HBM_PAPER_GBPS
+                        bw_pct = 100 * gbps / bw_den
+                        st = {
                             'device_ms': round(ms, 3),
                             'device_tflops': round(tflops, 2),
                             'peak_tflops': round(peak / 1e12),
                             'mfu_pct': round(mfu_pct, 1),
-                            'bytes_gb_per_s': round(gbps, 1),
+                            'hbm_gb_per_s': round(gbps, 1),
                             'hbm_bw_pct': round(bw_pct, 1),
+                            'hbm_model_mb': {
+                                k: round(traffic[f'{k}_bytes'] / 1e6, 1)
+                                for k in ('arg', 'out', 'temp')},
+                            # logical operand bytes/s for context only:
+                            # counts every consumer re-read incl.
+                            # VMEM-resident chains, so it can (and
+                            # does) exceed physical HBM rates
+                            'logical_gb_per_s': round(
+                                traffic['logical_bytes']
+                                / (ms * 1e-3) / 1e9, 1),
                             'bound': ('compute' if mfu_pct >= bw_pct
                                       else 'bandwidth'),
                         }
+                        if bw_pct > 105:
+                            # the traffic model only counts bytes that
+                            # really cross HBM, so >105% of the measured
+                            # rate means the model broke — say so
+                            # instead of emitting a bogus label
+                            st['bound'] = 'bw-model-error'
+                        out[name] = st
                     except Exception:
                         pass
                 return out
@@ -373,6 +376,13 @@ def run_bench():
             mfu['b%d' % BATCH] = _mfu_at(dargs)
             if device_rate_b64 is not None and not past_deadline(90):
                 mfu['b64'] = _mfu_at(dargs2)
+            if hbm_gbps:
+                mfu['measured_hbm_gbps'] = hbm_gbps
+                mfu['hbm_note'] = (
+                    'hbm_bw_pct = physical traffic model (args+out+'
+                    '2*temp) / measured achievable stream bandwidth; '
+                    'paper peak %s GB/s'
+                    % roofline.V5E_HBM_PAPER_GBPS)
             # device-only fused step (chain method) alongside the
             # dispatch-amortized device_rate: the delta is the host
             # dispatch overhead, which pipelined serving overlaps
@@ -577,6 +587,20 @@ def run_bench():
             'quant': quant}
 
 
+def _sanitize_mfu(mfu):
+    """No stage may carry a >105% HBM label: the traffic model only
+    counts bytes that really cross HBM, so exceeding the measured rate
+    means the MODEL broke — relabel rather than publish an impossible
+    bound (round-4 VERDICT item 1; round 4 published 231.9%)."""
+    for stages in mfu.values():
+        if not isinstance(stages, dict):
+            continue
+        for st in stages.values():
+            if isinstance(st, dict) and st.get('hbm_bw_pct', 0) > 105:
+                st['bound'] = 'bw-model-error'
+    return mfu
+
+
 def main():
     r = run_bench()
     throughput, p50, batch1_rate = (r['throughput'], r['p50'],
@@ -625,17 +649,19 @@ def main():
             'tri-modal device-step preds/s/chip (b%d)' % BATCH
     else:  # deadline hit before the device-rate section: fall back
         headline, metric = throughput, 'tri-modal predictions/sec/chip'
-    vs = round(headline / cpu_b1, 2) if cpu_b1 else None
     win = r.get('window_rates') or []
+    # vs_baseline pairs LIKE with LIKE: e2e throughput over the CPU
+    # baseline's e2e batch-1 rate (both include host preprocessing).
+    # The device-step-over-CPU-e2e ratio is exposed under its own name
+    # — it excludes host work from the numerator only, so it is an
+    # upper bound, not a baseline comparison (round-4 ADVICE).
     result = {
         'metric': metric,
         'value': round(headline, 1),
         'unit': 'preds/s',
-        'vs_baseline': vs,
+        'vs_baseline': (round(throughput / cpu_b1, 2) if cpu_b1 else None),
         'e2e_preds_per_sec': round(throughput, 1),
         'e2e_window_range': ([min(win), max(win)] if win else None),
-        'e2e_vs_cpu_baseline': (round(throughput / cpu_b1, 2)
-                                if cpu_b1 else None),
         'e2e_note': 'end-to-end through the axon tunnel; '
                     'tunnel-phase-dependent, see e2e_window_range',
         'p50_ms': round(p50, 2),
@@ -648,16 +674,36 @@ def main():
                                       if device_rate else None),
         'device_step_preds_per_sec_b64': (round(device_rate_b64, 1)
                                           if device_rate_b64 else None),
+        'device_step_vs_cpu_e2e': (round(device_rate / cpu_b1, 2)
+                                   if (cpu_b1 and device_rate) else None),
         'image_int8': quant['image_int8'],
         'bert_int8': quant['bert_int8'],
     }
+    # Full results (roofline, p50 decomposition, per-modality rates) go
+    # to a sidecar file: round 4's machine-readable record was lost
+    # because the one printed line outgrew the driver's 2 KB stdout
+    # tail capture and truncated mid-JSON (round-4 VERDICT item 2).
+    full = dict(result)
     if decomp:
-        result['p50_decomposition'] = decomp
+        full['p50_decomposition'] = decomp
     if mfu:
-        result['mfu'] = mfu
+        full['mfu'] = _sanitize_mfu(mfu)
     if per_config:
-        result['per_modality_preds_per_sec'] = per_config
-    print(json.dumps(result))
+        full['per_modality_preds_per_sec'] = per_config
+    try:
+        with open(FULL_RESULTS_PATH, 'w') as f:
+            json.dump(full, f, indent=1)
+        result['full_results'] = os.path.basename(FULL_RESULTS_PATH)
+    except OSError as e:
+        print(f'bench: could not write {FULL_RESULTS_PATH}: {e}',
+              file=sys.stderr)
+    if mfu and 'measured_hbm_gbps' in mfu:
+        result['measured_hbm_gbps'] = mfu['measured_hbm_gbps']
+    line = json.dumps(result)
+    # the driver captures a bounded stdout tail; keep the line well
+    # inside it (tests/test_bench_contract.py pins this)
+    assert len(line) <= 1500, f'bench line too long: {len(line)}'
+    print(line)
 
 
 if __name__ == '__main__':

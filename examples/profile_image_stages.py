@@ -77,26 +77,23 @@ def main():
         return {'params': {k: v for k, v in iv['params'].items()
                            if k in keep}}
 
-    def chained_ms(apply_fn, params, x):
-        @jax.jit
-        def run():
-            def body(i, c):
-                eps = c * jnp.float32(1e-30)
-                pk = dict(params['params'])
-                pk['conv1'] = dict(pk['conv1'],
-                                   kernel=pk['conv1']['kernel'] + eps)
-                out = apply_fn({'params': pk}, x)
-                s = sum(jnp.sum(le.astype(jnp.float32))
-                        for le in jax.tree_util.tree_leaves(out))
-                return c + s * jnp.float32(0.0)
-            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
-        float(run())
-        best = float('inf')
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            float(run())
-            best = min(best, (time.perf_counter() - t0) / K * 1e3)
-        return best
+    from mec_tpu.utils import roofline
+
+    def stage_call(apply_fn, params, x):
+        def call(eps):
+            pk = dict(params['params'])
+            pk['conv1'] = dict(pk['conv1'],
+                               kernel=pk['conv1']['kernel'] + eps)
+            return apply_fn({'params': pk}, x)
+        return call
+
+    try:
+        hbm_gbps = roofline.measure_hbm_gbps()
+        print(f'measured achievable HBM stream: {hbm_gbps:.1f} GB/s '
+              f'(paper peak {roofline.V5E_HBM_PAPER_GBPS})', flush=True)
+    except Exception as e:
+        hbm_gbps = roofline.V5E_HBM_PAPER_GBPS
+        print(f'HBM probe failed ({e}); using paper peak', flush=True)
 
     sizes = (3, 4, 6, 3)
     for B in BATCHES:
@@ -104,15 +101,28 @@ def main():
         x = jax.device_put(np.random.RandomState(0).randn(
             B, h, w, 3).astype(np.float32))
         print(f'--- batch {B} @{h}px (quant={quant}/{qmode}, '
-              f'{K}-chain, min of {REPS}) ---', flush=True)
-        prev = 0.0
+              f'slope {K // 2}->{K * 2}-chain, min of {REPS}) ---',
+              flush=True)
+        prev = prev_traffic = 0.0
         for n in range(5):
             model = Truncated(stage_sizes=sizes, n_stages=n)
-            ms = chained_ms(model.apply, subset_params(n), x)
+            params = subset_params(n)
+            ms = roofline.chain_slope_ms(
+                stage_call(model.apply, params, x),
+                k1=K // 2, k2=K * 2, reps=REPS)
+            tr = roofline.hbm_traffic_bytes(
+                jax.jit(model.apply).lower(params, x).compile())
             label = 'stem+pool' if n == 0 else f'+layer{n}'
-            print(f'{label:10s} cumulative {ms:7.3f} ms   '
-                  f'stage delta {ms - prev:7.3f} ms', flush=True)
-            prev = ms
+            d_ms = ms - prev
+            d_tr = tr['model_bytes'] - prev_traffic
+            bw_floor_ms = d_tr / (hbm_gbps * 1e9) * 1e3
+            print(f'{label:10s} cum {ms:7.3f} ms  delta {d_ms:6.3f} ms | '
+                  f'stage traffic {d_tr / 1e6:7.1f} MB '
+                  f'(cum temp {tr["temp_bytes"] / 1e6:6.1f} MB) '
+                  f'bw-floor {bw_floor_ms:5.3f} ms '
+                  f'({100 * bw_floor_ms / max(d_ms, 1e-9):5.1f}% of stage)',
+                  flush=True)
+            prev, prev_traffic = ms, tr['model_bytes']
 
 
 if __name__ == '__main__':

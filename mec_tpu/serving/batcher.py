@@ -111,6 +111,15 @@ class BatchQueue:
         submit() re-checks under the lock (authoritative)."""
         return 0 < self.max_pending <= len(self._pending)
 
+    def backlogged(self) -> bool:
+        """Softer watermark than overloaded(): True once more than one
+        full batch is already queued. The webapp stops request-thread
+        predecode above this level — each predecoded tri-modal payload
+        holds ~0.5 MB of decoded tensors, so a deep queue of them is a
+        memory-pressure mode of its own on a small host — while the
+        batch about to form still gets predecoded arrays."""
+        return len(self._pending) > self.max_batch
+
     def stop(self) -> None:
         with self._lock:
             self._stopped = True

@@ -109,7 +109,7 @@ def _pad_rows(x: np.ndarray, n: int) -> np.ndarray:
 class EmotionEngine:
     """Process-wide singleton owning params + compiled graphs."""
 
-    def __init__(self, models_dir: Optional[str] = None):
+    def __init__(self, models_dir: Optional[str] = None, mesh='auto'):
         self.models_dir = models_dir
         self.compute_dtype = (jnp.bfloat16
                               if Config.COMPUTE_DTYPE == 'bfloat16'
@@ -117,7 +117,13 @@ class EmotionEngine:
         # Serving data parallelism: with >1 visible device, request
         # batches shard along the mesh 'data' axis and params replicate —
         # scaling out is placement, not new code (SURVEY.md §2.3).
-        self.mesh = make_mesh() if jax.device_count() > 1 else None
+        # mesh='auto' (default) builds it from the visible devices;
+        # mesh=None forces single-device (the dryrun equality reference);
+        # an explicit Mesh is used as-is.
+        if mesh == 'auto':
+            self.mesh = make_mesh() if jax.device_count() > 1 else None
+        else:
+            self.mesh = mesh
         self._data_size = self.mesh.shape['data'] if self.mesh else 1
         # Host audio featurization (perf mode): ship 56 floats per clip
         # instead of the packed waveform (Config.HOST_AUDIO_FEATURES;

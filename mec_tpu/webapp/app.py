@@ -232,12 +232,15 @@ class EmotionApp:
         decode in parallel) — but only when the request is FULL
         tri-modal (the fused batch path consumes the arrays; partial
         requests fall back to per-modality path decoding, which would
-        ignore them and decode twice) and only when the queue is not
-        about to shed it (decoding a request that gets a 503 spends
-        exactly the CPU the backlog needs to drain)."""
+        ignore them and decode twice) and only while the queue is
+        shallow (beyond one full batch of backlog, queued predecoded
+        tensors — ~0.5 MB/request — become their own memory-pressure
+        mode, and a request about to be shed must not burn the decode
+        CPU the backlog needs to drain)."""
         payload = {'audio_path': audio_path, 'text': text,
                    'image_path': image_path}
         if (audio_path and text and image_path
+                and not self.batcher.multimodal.backlogged()
                 and not self.batcher.multimodal.overloaded()):
             payload = self.engine.predecode_multimodal(payload)
         return payload

@@ -14,13 +14,16 @@ import pytest
 
 
 @pytest.fixture()
-def bench(monkeypatch):
+def bench(monkeypatch, tmp_path):
     import bench as bench_mod
     # never spawn the CPU-baseline subprocess from a unit test
     monkeypatch.setattr(
         bench_mod.subprocess, 'run',
         lambda *a, **k: (_ for _ in ()).throw(RuntimeError('no subproc')))
     assert bench_mod.subprocess is subprocess  # the module it really uses
+    # the full-results sidecar lands in tmp, not the repo root
+    monkeypatch.setattr(bench_mod, 'FULL_RESULTS_PATH',
+                        str(tmp_path / 'bench_full.json'))
     return bench_mod
 
 
@@ -45,6 +48,10 @@ def test_main_prints_one_json_line_tpu_mode(bench, monkeypatch, capsys):
     bench.main()
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 1
+    # round 4's record was lost to the driver's ~2 KB stdout tail
+    # capture truncating the line mid-JSON: the printed line must stay
+    # compact, with the large sections in the bench_full.json sidecar
+    assert len(lines[0]) <= 1500
     result = json.loads(lines[0])
     # the headline is the ROBUST chip number (device step), with the
     # tunnel-bound e2e rate as a labeled range beside it
@@ -55,15 +62,48 @@ def test_main_prints_one_json_line_tpu_mode(bench, monkeypatch, capsys):
     assert result['e2e_window_range'] == [120.0, 288.9]
     # CPU subprocess was stubbed to fail -> vs_baseline degrades to None
     assert result['vs_baseline'] is None
-    # every optional section still lands when provided by run_bench
+    assert result['device_step_vs_cpu_e2e'] is None
     assert result['image_int8'] == 'static'
     assert result['bert_int8'] == 'static'
-    assert result['p50_decomposition']['device_step_batch1_ms'] == 1.9
-    # same-window decomposition present: phase sums + tiny residual
-    assert result['p50_decomposition']['b1_phases_sum_ms'] == 32.4
-    assert result['p50_decomposition']['residual_unattributed_ms'] == 0.56
-    assert result['mfu']['b32']['speech']['bound'] == 'bandwidth'
-    assert result['per_modality_preds_per_sec'] == {'speech_only': 400.0}
+    # the heavyweight sections live ONLY in the sidecar
+    for heavy in ('p50_decomposition', 'mfu', 'per_modality_preds_per_sec'):
+        assert heavy not in result
+    assert result['full_results'] == 'bench_full.json'
+    with open(bench.FULL_RESULTS_PATH) as f:
+        full = json.load(f)
+    assert full['p50_decomposition']['device_step_batch1_ms'] == 1.9
+    assert full['p50_decomposition']['b1_phases_sum_ms'] == 32.4
+    assert full['p50_decomposition']['residual_unattributed_ms'] == 0.56
+    assert full['mfu']['b32']['speech']['bound'] == 'bandwidth'
+    assert full['per_modality_preds_per_sec'] == {'speech_only': 400.0}
+
+
+def test_impossible_hbm_pct_is_relabeled(bench, monkeypatch, capsys):
+    """No published stage may claim >105% HBM-bandwidth utilization:
+    round 4 published 231.9% (logical bytes / paper peak) and its
+    compute-vs-bandwidth labels were untrustworthy. A stage whose
+    modeled pct still exceeds 105 gets an explicit bw-model-error label
+    instead of a bound verdict."""
+    monkeypatch.setattr(bench, 'MODE', 'tpu')
+    fake = _fake_results()
+    fake['mfu'] = {
+        'b32': {'speech': {'mfu_pct': 25.0, 'hbm_bw_pct': 231.9,
+                           'bound': 'bandwidth'},
+                'image': {'mfu_pct': 30.0, 'hbm_bw_pct': 55.0,
+                          'bound': 'bandwidth'}},
+        'measured_hbm_gbps': 705.8,
+    }
+    monkeypatch.setattr(bench, 'run_bench', lambda: fake)
+    bench.main()
+    result = json.loads(capsys.readouterr().out.strip())
+    assert result['measured_hbm_gbps'] == 705.8
+    with open(bench.FULL_RESULTS_PATH) as f:
+        full = json.load(f)
+    b32 = full['mfu']['b32']
+    assert b32['speech']['bound'] == 'bw-model-error'
+    assert b32['image']['bound'] == 'bandwidth'  # sane stage untouched
+    for st in b32.values():
+        assert st['hbm_bw_pct'] <= 105 or st['bound'] == 'bw-model-error'
 
 
 def test_main_falls_back_to_e2e_headline_without_device_rate(

@@ -480,14 +480,32 @@ def test_predecode_skipped_for_partial_and_overloaded_requests(app,
     q = app.batcher.multimodal
     old = q.max_pending
     q.max_pending = 1
-    q._pending.append(('x', None, 0.0))  # simulate a full queue
+    # the sentinel carries a REAL Future: the drain thread is live, and
+    # if its wakeup fires in this window it dequeues the sentinel and
+    # calls .done() on it — a None would kill the worker thread
+    from concurrent.futures import Future
+    sentinel = ('x', Future(), 0.0)
+    q._pending.append(sentinel)
     try:
         assert q.overloaded()
         shed = app._multimodal_payload(wav_path, 'hello', img_path)
         assert 'wave' not in shed and 'image' not in shed
     finally:
-        q._pending.pop()
+        try:
+            q._pending.remove(sentinel)
+        except ValueError:
+            pass  # a racing drain already consumed it
         q.max_pending = old
+
+    # deep-but-not-shedding queue (> one full batch): predecode is also
+    # skipped, so the pending list never accumulates decoded tensors
+    orig = q.backlogged
+    q.backlogged = lambda: True
+    try:
+        deep = app._multimodal_payload(wav_path, 'hello', img_path)
+        assert 'wave' not in deep and 'image' not in deep
+    finally:
+        q.backlogged = orig
 
 
 def test_shed_request_deletes_orphan_upload(client, app):
