@@ -27,35 +27,18 @@ REPS = int(os.environ.get('REPS', '4'))
 
 
 def chained_ms(f, args, k=K, reps=REPS):
-    """Time f(*args) as k data-dependent iterations in one jit."""
-    import jax
-    import jax.numpy as jnp
+    """Time f(*args) via the chain-SLOPE method (roofline.py): the
+    round-4 single-chain version divided the ~29 ms tunnel fetch RTT
+    into every per-iteration number (~1 ms at the old K=30 default) —
+    fatal for these sub-ms stages. The DCE/hoist/splat traps documented
+    in roofline.py apply unchanged."""
+    from mec_tpu.utils import roofline
 
-    @jax.jit
-    def run(*xs):
-        def body(i, c):
-            # perturb the first arg by the carry so the loop body is not
-            # loop-invariant (XLA would hoist a pure f(x) out of the loop)
-            eps = c * jnp.float32(1e-30)
-            perturbed = (xs[0] + eps,) + xs[1:]
-            out = f(*perturbed)
-            # the carry must consume a FULL reduction of EVERY output
-            # leaf: chaining on out[0] lets XLA rewrite
-            # slice(concat(...)) -> slice(operand0) and dead-code every
-            # other branch (the frontend output IS a concatenate —
-            # measured: it timed only the MFCC path). x*0.0 cannot fold.
-            s = sum(jnp.sum(leaf.astype(jnp.float32))
-                    for leaf in jax.tree_util.tree_leaves(out))
-            return c + s * jnp.float32(0.0)
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+    def call(eps):
+        perturbed = (args[0] + eps,) + tuple(args[1:])
+        return f(*perturbed)
 
-    float(run(*args))  # compile + warm
-    best = float('inf')
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(run(*args))
-        best = min(best, (time.perf_counter() - t0) / k * 1e3)
-    return best
+    return roofline.chain_slope_ms(call, k1=k, k2=4 * k, reps=reps)
 
 
 def costs(f, args):

@@ -186,6 +186,15 @@ class Config:
     # off or when running on CPU).
     USE_PALLAS = _env_flag('MEC_USE_PALLAS', True)
 
+    # Batched Pallas tuning-estimator selection phase
+    # (ops/pallas_tuning.py): median + histogram over the VMEM-resident
+    # candidate set, eight clips per grid cell. Default ON: bit-exact
+    # vs the XLA path and measured 1.40x at b64 (0.70 -> 0.50 ms,
+    # frontend 2.43 -> 2.22 ms), 3.0x at b1 — the batched shape wins
+    # where round 1's per-clip grid lost (examples/ab_pallas_tuning.py,
+    # 2026-08-21). TPU-only (the gate checks the backend).
+    PALLAS_TUNING = _env_flag('MEC_PALLAS_TUNING', True)
+
     # Serving-mode DFT MXU precision: 'high' (default, 3-pass bf16
     # split, error floor below librosa's -80 dB top_db clamp), 'bf16'
     # (1 pass — fastest but its ~-64 dB floor measurably shifts dB-scale

@@ -322,6 +322,18 @@ def _kth_smallest(values: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
                                         .astype(jnp.int32), jnp.float32)
 
 
+def _hist_edges_ceil32(n_bins: int = 100) -> np.ndarray:
+    """Host-precomputed ceil-to-f32 histogram edge table (see the edge
+    semantics note in estimate_tuning_from_power). Shared by the XLA
+    path and ops/pallas_tuning.py so both compare identical bits."""
+    edges64 = np.linspace(-0.5, 0.5, n_bins + 1)
+    ceil32 = edges64.astype(np.float32)
+    low = ceil32.astype(np.float64) < edges64
+    ceil32[low] = np.nextafter(ceil32[low], np.float32(np.inf),
+                               dtype=np.float32)
+    return ceil32
+
+
 def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """np.median over values[mask], per batch row. values/mask: (B, K)."""
     big = jnp.float32(np.finfo(np.float32).max)
@@ -346,7 +358,9 @@ def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def estimate_tuning_from_power(P: jnp.ndarray, resolution: float = 0.01,
-                               bins_per_octave: int = 12) -> jnp.ndarray:
+                               bins_per_octave: int = 12,
+                               use_pallas: bool | None = None
+                               ) -> jnp.ndarray:
     """Per-clip tuning deviation in fractional chroma bins, (B,).
 
     librosa.estimate_tuning: keep candidates whose magnitude is >= the median
@@ -405,6 +419,28 @@ def estimate_tuning_from_power(P: jnp.ndarray, resolution: float = 0.01,
     mags = jnp.where(left_is_cand, m2[..., 0], m2[..., 1]).reshape(B, -1)
 
     pitch_mask = pitches > 0
+
+    if use_pallas is None:
+        from mec_tpu.ops import pallas_kernels as pk
+        use_pallas = (Config.PALLAS_TUNING and pk.on_tpu())
+    if use_pallas:
+        # Batched Pallas selection (ops/pallas_tuning.py): median +
+        # histogram passes run over the VMEM-resident candidate set.
+        # The residual fold is computed HERE (XLA log2 — Mosaic's
+        # transcendental rounding flipped a histogram near-tie in the
+        # round-1 kernel) over pitch_mask ⊇ sel: non-selected elements
+        # get a residual the kernel never counts, selected ones get
+        # bit-identical values to the XLA path below.
+        octs = jnp.log2(jnp.where(pitch_mask, pitches, 1.0) / 27.5)
+        residual = jnp.mod(bins_per_octave * octs, 1.0)
+        residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
+        from mec_tpu.ops.pallas_tuning import tuning_select_pallas
+        best, has = tuning_select_pallas(mags, residual, pitches)
+        nearest = jnp.asarray(
+            np.linspace(-0.5, 0.5, int(np.ceil(1.0 / resolution)) + 1)
+            .astype(np.float32))
+        return jnp.where(has, nearest[best], 0.0)
+
     med = _masked_median(mags, pitch_mask)                       # (B,)
     sel = (mags >= med[:, None]) & pitch_mask
 
@@ -425,11 +461,7 @@ def estimate_tuning_from_power(P: jnp.ndarray, resolution: float = 0.01,
     # no (B, K)-sized gathers (TPU gathers were the frontend's dominant
     # cost): edges enter each pass as a broadcast (CHUNK+1,) slice.
     edges64 = np.linspace(-0.5, 0.5, n_bins + 1)
-    ceil32 = edges64.astype(np.float32)
-    low = ceil32.astype(np.float64) < edges64
-    ceil32[low] = np.nextafter(ceil32[low], np.float32(np.inf),
-                               dtype=np.float32)
-    ceil32 = jnp.asarray(ceil32)
+    ceil32 = jnp.asarray(_hist_edges_ceil32(n_bins))
     # Last bin is right-inclusive in np.histogram, but the residual fold
     # maps any f32 r == 0.5 to -0.5, so r < 0.5 strictly and the shared
     # right edge test (r >= 0.5) is identically False — differencing is
