@@ -559,17 +559,20 @@ def spectral_centroid_mean(mag: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(centroid, axis=-1)
 
 
-def _cumsum_chunked(x: jnp.ndarray, chunk: int = 32) -> jnp.ndarray:
+def _cumsum_chunked(x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
     """Cumulative sum along the last axis via two small MXU matmuls.
 
     XLA lowers jnp.cumsum on TPU to a log-depth scan — ~11 full-tensor
     HBM passes at F=1025, which made the rolloff stage the most
     expensive spectral scalar (measured ~1 ms of the batch-64 frontend).
-    Chunking to 32-wide groups turns it into one batched (.., 32)@(32, 32)
-    triangular matmul for within-chunk prefixes plus a second tiny matmul
-    for chunk-level prefixes: two passes over the data, prefix FLOPs on
-    the MXU. float32 accumulation (HIGHEST), so only the summation
-    GROUPING differs from jnp.cumsum — same tolerance class.
+    Chunking turns it into one batched (.., C)@(C, C) triangular matmul
+    for within-chunk prefixes plus a second tiny matmul for chunk-level
+    prefixes: two passes over the data, prefix FLOPs on the MXU.
+    float32 accumulation (HIGHEST), so only the summation GROUPING
+    differs from jnp.cumsum — same tolerance class. Chunk width swept
+    on the v5e (round 5, slope-timed at b64): 32/64/128/256 ->
+    0.537/0.521/0.481/0.461 ms — the old 32-wide groups padded the MXU
+    tile 4x on both contraction and output; 256 fills it.
     """
     F = x.shape[-1]
     pad = (-F) % chunk
