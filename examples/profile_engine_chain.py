@@ -14,7 +14,6 @@ Usage: python examples/profile_engine_chain.py [batch ...]
 
 import os
 import sys
-import time
 
 os.environ.setdefault('MEC_COMPUTE_DTYPE', 'bfloat16')
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -27,33 +26,15 @@ REPS = int(os.environ.get('REPS', '3'))
 
 
 def chained_ms(call_with_eps, k=K, reps=REPS):
-    """Time a stage as k iterations chained through an epsilon
-    perturbation of one small input leaf (prevents XLA hoisting the
-    loop-invariant body)."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def run():
-        def body(i, c):
-            out = call_with_eps(c * jnp.float32(1e-30))
-            # the carry must consume a FULL reduction of EVERY output
-            # leaf: chaining on out[0] lets XLA rewrite
-            # slice(concat(...)) -> slice(operand0) and dead-code every
-            # other branch of the graph (measured: 'trimodal' timed
-            # faster than its own image stage). x*0.0 cannot fold (NaN).
-            s = sum(jnp.sum(leaf.astype(jnp.float32))
-                    for leaf in jax.tree_util.tree_leaves(out))
-            return c + s * jnp.float32(0.0)
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
-
-    float(run())
-    best = float('inf')
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(run())
-        best = min(best, (time.perf_counter() - t0) / k * 1e3)
-    return best
+    """Time a stage via the chain-SLOPE method (mec_tpu/utils/roofline):
+    (wall(k)-wall(k//4))/(k-k//4) cancels the ~29 ms tunnel fetch RTT a
+    single chain divides into every per-iteration number (~0.3 ms at
+    the old K=100). The DCE/hoist/splat traps are documented in
+    roofline.py — the epsilon must perturb an input-side leaf and the
+    carry must reduce EVERY output leaf."""
+    from mec_tpu.utils import roofline
+    return roofline.chain_slope_ms(call_with_eps, k1=max(k // 4, 10),
+                                   k2=k, reps=reps)
 
 
 def main():
