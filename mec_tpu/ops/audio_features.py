@@ -590,15 +590,67 @@ def _cumsum_chunked(x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
     return cum[..., :F]
 
 
-def spectral_rolloff_mean(mag: jnp.ndarray, roll_percent: float = 0.85
-                          ) -> jnp.ndarray:
-    """librosa.feature.spectral_rolloff (lowest bin reaching 85% energy), (B,)."""
+def spectral_rolloff_mean(mag: jnp.ndarray, roll_percent: float = 0.85,
+                          two_level: bool = False) -> jnp.ndarray:
+    """librosa.feature.spectral_rolloff (lowest bin reaching 85% energy), (B,).
+
+    two_level=True finds the crossing WITHOUT materializing the full
+    chunked cumsum: chunk totals (one U-last-column matmul pass) ->
+    exclusive chunk prefixes -> first chunk whose end-cum reaches the
+    threshold -> extract ONLY that chunk (one-hot einsum) and run the
+    small triangular prefix there. MEASURED NEGATIVE on the v5e (round
+    5): 0.63 vs 0.47 ms at b64 — the one-hot extraction einsums cost
+    more than the full-cumsum pass they avoid — and the
+    same-accumulation-chain argument that makes it bit-equal on the
+    CPU backend (tests/test_audio_frontend.py::
+    test_rolloff_two_level_bit_equal) does NOT hold under the TPU
+    matmul lowering (observed bin-level flips). Default OFF; kept as
+    the documented attempt.
+    """
     freqs = jnp.asarray(filters.fft_frequencies(SR, N_FFT), dtype=jnp.float32)
-    cum = _cumsum_chunked(mag)
-    thresh = roll_percent * cum[..., -1:]
-    hit = cum >= thresh
     big = jnp.float32(np.finfo(np.float32).max)
-    rolloff = jnp.min(jnp.where(hit, freqs, big), axis=-1)       # (B, T)
+    if not two_level:
+        cum = _cumsum_chunked(mag)
+        thresh = roll_percent * cum[..., -1:]
+        hit = cum >= thresh
+        rolloff = jnp.min(jnp.where(hit, freqs, big), axis=-1)   # (B, T)
+        return jnp.mean(rolloff, axis=-1)
+
+    chunk = 256
+    F = mag.shape[-1]
+    pad = (-F) % chunk
+    x = jnp.pad(mag, [(0, 0)] * (mag.ndim - 1) + [(0, pad)]) if pad else mag
+    fpad = jnp.pad(freqs, (0, pad), constant_values=big) if pad else freqs
+    n_chunks = (F + pad) // chunk
+    xr = x.reshape(x.shape[:-1] + (n_chunks, chunk))
+    # chunk totals via U's LAST COLUMN (same contraction chain as the
+    # full within-matmul's last column -> bit-identical values)
+    U = jnp.asarray(np.triu(np.ones((chunk, chunk), np.float32)))
+    totals = jnp.einsum('...ci,ij->...cj', xr, U[:, -1:],
+                        precision=_HIGH)[..., 0]        # (.., n_chunks)
+    Us = jnp.asarray(np.triu(np.ones((n_chunks, n_chunks), np.float32), 1))
+    prefix = jnp.einsum('...c,cd->...d', totals, Us, precision=_HIGH)
+    end_cum = totals + prefix                           # fl(within_last + prefix)
+    thresh = roll_percent * end_cum[..., -1:]
+    # first chunk whose end-cum reaches the threshold (min-index, robust
+    # to 1-ulp non-monotonicity across chunk boundaries)
+    cidx = jnp.arange(n_chunks, dtype=jnp.int32)
+    c_star = jnp.min(jnp.where(end_cum >= thresh, cidx, n_chunks + 1),
+                     axis=-1)                           # (B, T)
+    # thresh = 0.85*end_cum[-1] <= end_cum[-1] for nonneg mag, so a
+    # crossing chunk always exists; clamp anyway so a pathological
+    # input can only pick the last chunk, never an all-zero one-hot
+    c_star = jnp.minimum(c_star, n_chunks - 1)
+    onehot = (cidx == c_star[..., None]).astype(jnp.float32)
+    # extract the crossing chunk's bins + frequencies (exact: x1.0/x0.0)
+    x_star = jnp.einsum('...c,...ci->...i', onehot, xr, precision=_HIGH)
+    f_star = jnp.einsum('...c,ci->...i', onehot,
+                        fpad.reshape(n_chunks, chunk), precision=_HIGH)
+    p_star = jnp.einsum('...c,...c->...', onehot, prefix,
+                        precision=_HIGH)[..., None]
+    within = jnp.einsum('...i,ij->...j', x_star, U, precision=_HIGH)
+    hit = within + p_star >= thresh
+    rolloff = jnp.min(jnp.where(hit, f_star, big), axis=-1)      # (B, T)
     return jnp.mean(rolloff, axis=-1)
 
 

@@ -274,3 +274,27 @@ class TestHopSlabFrontend:
         np.testing.assert_allclose(got[:, :40], ref[:, :40], atol=1e-2)
         np.testing.assert_allclose(got[:, 40:52], ref[:, 40:52], atol=1e-3)
         np.testing.assert_allclose(got[:, 52:], ref[:, 52:], rtol=1e-3)
+
+
+def test_rolloff_two_level_bit_equal():
+    """The two-level rolloff (chunk totals -> crossing chunk extract)
+    must be BIT-equal to the full chunked-cumsum scan: every compared
+    f32 value comes from the same matmul accumulation chains. Random +
+    structured (tonal, silent, impulse) spectra."""
+    import jax.numpy as jnp
+    from mec_tpu.ops import audio_features as af
+    rng = np.random.RandomState(0)
+    mags = [np.abs(rng.randn(3, 7, 1025)).astype(np.float32),
+            np.zeros((1, 4, 1025), np.float32)]
+    imp = np.zeros((1, 2, 1025), np.float32)
+    imp[..., 1024] = 1.0   # all energy in the last bin/chunk
+    mags.append(imp)
+    tone = np.zeros((1, 2, 1025), np.float32)
+    tone[..., 3] = 5.0     # all energy in the first chunk
+    mags.append(tone)
+    for m in mags:
+        a = np.asarray(af.spectral_rolloff_mean(jnp.asarray(m),
+                                                two_level=False))
+        b = np.asarray(af.spectral_rolloff_mean(jnp.asarray(m),
+                                                two_level=True))
+        np.testing.assert_array_equal(a, b)
