@@ -14,7 +14,6 @@ Usage: python examples/profile_audio.py [batch ...]
 
 import os
 import sys
-import time
 
 os.environ.setdefault('MEC_COMPUTE_DTYPE', 'bfloat16')
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -14,8 +14,6 @@ Usage: python examples/profile_image_stages.py [batch ...]
 
 import os
 import sys
-import time
-from functools import partial
 from typing import Sequence
 
 os.environ.setdefault('MEC_COMPUTE_DTYPE', 'bfloat16')
