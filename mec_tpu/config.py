@@ -195,6 +195,14 @@ class Config:
     # 2026-08-21). TPU-only (the gate checks the backend).
     PALLAS_TUNING = _env_flag('MEC_PALLAS_TUNING', True)
 
+    # Pallas spectral-rolloff crossing search (ops/pallas_rolloff.py):
+    # 11-probe binary search per frame over VMEM-resident rows instead
+    # of the full chunked-cumsum matmul. bf16 serving mode only (the
+    # probe sums use a different association order than the cumsum, so
+    # crossing bins can flip on measure-zero near-ties; fp32 parity mode
+    # keeps the XLA path). TPU-only (the gate checks the backend).
+    PALLAS_ROLLOFF = _env_flag('MEC_PALLAS_ROLLOFF', True)
+
     # Serving-mode DFT MXU precision: 'high' (default, 3-pass bf16
     # split, error floor below librosa's -80 dB top_db clamp), 'bf16'
     # (1 pass — fastest but its ~-64 dB floor measurably shifts dB-scale

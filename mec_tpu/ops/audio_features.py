@@ -591,8 +591,16 @@ def _cumsum_chunked(x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
 
 
 def spectral_rolloff_mean(mag: jnp.ndarray, roll_percent: float = 0.85,
-                          two_level: bool = False) -> jnp.ndarray:
+                          two_level: bool = False,
+                          use_pallas: bool = False) -> jnp.ndarray:
     """librosa.feature.spectral_rolloff (lowest bin reaching 85% energy), (B,).
+
+    use_pallas=True (bf16 serving mode only) routes the crossing search
+    through ops/pallas_rolloff.py: an 11-probe binary search per frame
+    over VMEM-resident rows replaces the full chunked-cumsum matmul.
+    Crossing bins can flip on near-ties (different summation order), so
+    the fp32 logit-parity mode never takes this path; the bin->frequency
+    map is bit-identical to fft_frequencies (see the kernel docstring).
 
     two_level=True finds the crossing WITHOUT materializing the full
     chunked cumsum: chunk totals (one U-last-column matmul pass) ->
@@ -607,6 +615,17 @@ def spectral_rolloff_mean(mag: jnp.ndarray, roll_percent: float = 0.85,
     matmul lowering (observed bin-level flips). Default OFF; kept as
     the documented attempt.
     """
+    if use_pallas and Config.PALLAS_ROLLOFF:
+        from mec_tpu.ops import pallas_kernels as pk
+        if pk.on_tpu():
+            from mec_tpu.ops.pallas_rolloff import rolloff_bins_pallas
+            F = mag.shape[-1]
+            bins = rolloff_bins_pallas(mag.reshape(-1, F), roll_percent)
+            bins = bins.reshape(mag.shape[:-1])             # (B, T)
+            # exact: (SR/2)/(F-1) = 11025*2^-10 and k*11025 < 2^24 are
+            # both f32-representable, so k*step == freqs[k] bitwise
+            step = jnp.float32(SR / 2.0 / (F - 1))
+            return jnp.mean(bins.astype(jnp.float32) * step, axis=-1)
     freqs = jnp.asarray(filters.fft_frequencies(SR, N_FFT), dtype=jnp.float32)
     big = jnp.float32(np.finfo(np.float32).max)
     if not two_level:
@@ -725,7 +744,7 @@ def audio_features_56(y: jnp.ndarray, use_pallas: bool = False
     # search + histogram across clips) — see ROADMAP.md item 5.
     chroma = chroma_mean_from_power(P)
     centroid = spectral_centroid_mean(mag)
-    rolloff = spectral_rolloff_mean(mag)
+    rolloff = spectral_rolloff_mean(mag, use_pallas=use_pallas)
     spectral = jnp.stack([zcr, centroid, rolloff, rms], axis=-1)
     return jnp.concatenate([mfcc, chroma, spectral], axis=-1).astype(jnp.float32)
 
