@@ -698,8 +698,8 @@ def rms_mean(y: jnp.ndarray) -> jnp.ndarray:
 # Full 56-dim frontend
 # ----------------------------------------------------------------------
 
-def audio_features_56(y: jnp.ndarray, use_pallas: bool = False
-                      ) -> jnp.ndarray:
+def audio_features_56(y: jnp.ndarray, use_pallas: bool = False,
+                      rolloff_pallas: bool | None = None) -> jnp.ndarray:
     """(B, 66150) float32 waveforms -> (B, 56) features.
 
     Feature order matches reference preprocessing/audio_preprocessing.py:40-46:
@@ -709,6 +709,14 @@ def audio_features_56(y: jnp.ndarray, use_pallas: bool = False
     use_pallas routes the DFT and the mel->dB->DCT MFCC stage through the
     fused Mosaic kernels (mec_tpu.ops.pallas_kernels); the XLA path is the
     float32 logit-parity reference.
+
+    rolloff_pallas (default: follow use_pallas) separately controls the
+    Pallas rolloff crossing search: standalone it is a 2.1x win (serving
+    frontend 2.32 -> 1.98 ms b64) but inside the fused tri-modal engine
+    graph it measured NEGATIVE at b64 (7.02-7.15 -> 7.16-7.28 ms
+    interleaved chain A/B, 2026-08-21) — the custom-call boundary costs
+    more than the MXU cumsum it removes once XLA can overlap that matmul
+    with the image/BERT stages — so the engine passes False there.
     """
     if y.ndim == 1:
         y = y[None, :]
@@ -744,7 +752,9 @@ def audio_features_56(y: jnp.ndarray, use_pallas: bool = False
     # search + histogram across clips) — see ROADMAP.md item 5.
     chroma = chroma_mean_from_power(P)
     centroid = spectral_centroid_mean(mag)
-    rolloff = spectral_rolloff_mean(mag, use_pallas=use_pallas)
+    rolloff = spectral_rolloff_mean(
+        mag, use_pallas=(use_pallas if rolloff_pallas is None
+                         else rolloff_pallas))
     spectral = jnp.stack([zcr, centroid, rolloff, rms], axis=-1)
     return jnp.concatenate([mfcc, chroma, spectral], axis=-1).astype(jnp.float32)
 

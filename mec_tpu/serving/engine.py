@@ -808,16 +808,22 @@ class EmotionEngine:
             except Exception as e:  # degrade to the XLA forward
                 log.warning('pallas DNN unavailable: %s', e)
 
-        def speech_fwd(variables, scaler, waves):
+        def speech_fwd(variables, scaler, waves, rolloff_pallas=True):
             # _host_audio is static at trace time: the graph either takes
             # (B, 56) precomputed features (host C++ frontend,
             # native/audiofeat.cpp) or the waveform wire + on-device
-            # frontend.
+            # frontend. rolloff_pallas is also static: the Pallas rolloff
+            # search wins standalone (speech-only graph) but measured
+            # negative INSIDE the fused tri-modal graph, where XLA
+            # overlaps the cumsum matmul with the image/BERT stages and
+            # the custom-call boundary only adds a barrier (interleaved
+            # chain A/B b64 2026-08-21; see audio_features_56).
             if self._host_audio:
                 feats = waves
             else:
                 feats = af.audio_features_56(_decode_waves(waves),
-                                             use_pallas=use_pallas)
+                                             use_pallas=use_pallas,
+                                             rolloff_pallas=rolloff_pallas)
             x = (feats - scaler[0]) / scaler[1]
             if dnn_pallas is not None:
                 packed = dnn_pallas(x)
@@ -874,7 +880,7 @@ class EmotionEngine:
             """One traced graph: 3 encoders (single pass each) + fusion,
             packed into a single (B, 7+7+7+13) output = one fetch
             (tail is 7 wide in rf fusion mode — no attention weights)."""
-            s = speech_fwd(sv, scaler, waves)
+            s = speech_fwd(sv, scaler, waves, rolloff_pallas=False)
             s_probs, s_pen = s[:, :7], s[:, 7:]
             t = bert_fwd(bv, ids, mask)
             t_probs, cls = t[:, :7], t[:, 7:]
